@@ -1,0 +1,15 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Tests never require real TPU hardware; multi-device sharding is exercised
+on a virtual CPU mesh (the TPU substitute for multi-chip tests).
+This must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

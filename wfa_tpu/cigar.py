@@ -1,0 +1,174 @@
+"""Alignment result: CIGAR op-runs, stats and text rendering.
+
+Semantics mirror the reference's AlignmentResult (wfa_cigar.go) exactly:
+
+* ops are appended end-to-front during backtrace, then reversed and merged
+  by :meth:`AlignmentResult.process` (wfa_cigar.go:136-214);
+* stats (align_len/matches/gaps/gap_regions) are computed only between the
+  first and the last ``M`` run (wfa_cigar.go:171-211);
+* rendering conventions are the package's own (inverted vs SAM):
+  ``I`` consumes target, ``D``/``H`` consume query (wfa_cigar.go:286-330).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+
+class AlignmentResult:
+    """Score, matched-region coordinates, stats and CIGAR ops.
+
+    Coordinates are 1-based and exclude flanking clippings/insertions
+    (wfa_cigar.go:36-37).
+    """
+
+    __slots__ = (
+        "ops",
+        "score",
+        "t_begin",
+        "t_end",
+        "q_begin",
+        "q_end",
+        "align_len",
+        "matches",
+        "gaps",
+        "gap_regions",
+        "_processed",
+        "global_alignment",
+    )
+
+    def __init__(self, global_alignment: bool = True) -> None:
+        self.ops: List[Tuple[str, int]] = []
+        self.score = 0
+        self.t_begin = 0
+        self.t_end = 0
+        self.q_begin = 0
+        self.q_end = 0
+        self.align_len = 0
+        self.matches = 0
+        self.gaps = 0
+        self.gap_regions = 0
+        self._processed = False
+        self.global_alignment = global_alignment
+
+    # -- building (used by backtrace) ------------------------------------
+
+    def add_n(self, op: str, n: int) -> None:
+        """Append an op run (wfa_cigar.go:118-124)."""
+        self.ops.append((op, n))
+
+    # -- post-processing ---------------------------------------------------
+
+    def process(self) -> None:
+        """Reverse, merge and compute stats (wfa_cigar.go:136-214)."""
+        if self._processed:
+            return
+        self.ops.reverse()
+
+        merged: List[Tuple[str, int]] = []
+        for op, n in self.ops:
+            if merged and merged[-1][0] == op:
+                merged[-1] = (op, merged[-1][1] + n)
+            else:
+                merged.append((op, n))
+        self.ops = merged
+
+        # stats between the first and last 'M' runs; Go defaults begin/end
+        # to 0 when no 'M' exists (wfa_cigar.go:171-187).
+        begin = 0
+        end = 0
+        for i, (op, _) in enumerate(self.ops):
+            if op == "M":
+                begin = i
+                break
+        for i in range(len(self.ops) - 1, -1, -1):
+            if self.ops[i][0] == "M":
+                end = i
+                break
+
+        align_len = matches = gaps = gap_regions = 0
+        for i in range(begin, end + 1):
+            op, n = self.ops[i]
+            align_len += n
+            if op == "M":
+                matches += n
+            elif op in ("I", "D"):
+                gaps += n
+                gap_regions += 1
+        self.align_len = align_len
+        self.matches = matches
+        self.gaps = gaps
+        self.gap_regions = gap_regions
+        self._processed = True
+
+    def _trimmed_ops(self) -> List[Tuple[str, int]]:
+        """Ops between first and last 'M' inclusive (wfa_cigar.go:217-233)."""
+        start = -1
+        end = -1
+        for i, (op, _) in enumerate(self.ops):
+            if op == "M":
+                start = i
+                break
+        for i in range(len(self.ops) - 1, -1, -1):
+            if self.ops[i][0] == "M":
+                end = i
+                break
+        if start < 0:
+            raise ValueError("no aligned (M) region to trim to")
+        return self.ops[start : end + 1]
+
+    def cigar(self, only_aligned_region: bool = False) -> str:
+        """Render the CIGAR string (wfa_cigar.go:236-255)."""
+        self.process()
+        ops = self._trimmed_ops() if only_aligned_region else self.ops
+        return "".join(f"{n}{op}" for op, n in ops)
+
+    def alignment_text(
+        self, q: bytes, t: bytes, only_aligned_region: bool = False
+    ) -> Tuple[bytes, bytes, bytes]:
+        """Render the 3-row alignment text (wfa_cigar.go:259-333)."""
+        self.process()
+        ops = self.ops
+        if only_aligned_region:
+            q = q[self.q_begin - 1 : self.q_end]
+            t = t[self.t_begin - 1 : self.t_end]
+            ops = self._trimmed_ops()
+
+        Q = bytearray()
+        A = bytearray()
+        T = bytearray()
+        v = h = 0
+        for op, n in ops:
+            if op == "M":
+                Q += q[v : v + n]
+                A += b"|" * n
+                T += t[h : h + n]
+                v += n
+                h += n
+            elif op == "X":
+                Q += q[v : v + n]
+                A += b" " * n
+                T += t[h : h + n]
+                v += n
+                h += n
+            elif op == "I":  # consumes target
+                Q += b"-" * n
+                A += b" " * n
+                T += t[h : h + n]
+                h += n
+            elif op in ("D", "H"):  # consume query
+                Q += q[v : v + n]
+                A += b" " * n
+                T += b"-" * n
+                v += n
+        return bytes(Q), bytes(A), bytes(T)
+
+    # -- misc ---------------------------------------------------------------
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return (
+            f"AlignmentResult(score={self.score}, cigar={self.cigar()!r}, "
+            f"q[{self.q_begin},{self.q_end}] t[{self.t_begin},{self.t_end}], "
+            f"len={self.align_len} matches={self.matches} gaps={self.gaps} "
+            f"gap_regions={self.gap_regions})"
+        )
