@@ -1,0 +1,156 @@
+"""Device engine vs oracle: bit-identical scores, CIGARs, coords, stats.
+
+The batched JAX engine must agree with the exact scalar oracle on every
+observable output, for global and semi-global modes, with and without
+wf-adaptive reduction, across mixed-length batches.
+"""
+
+import random
+
+import pytest
+
+from wfa_tpu import AdaptiveReductionOption, Options, Penalties, OracleAligner
+from wfa_tpu.engine import BatchAligner
+
+BASES = "ACGT"
+
+
+def mutate(rng, seq, rate):
+    out = []
+    for ch in seq:
+        r = rng.random()
+        if r < rate / 3:
+            out.append(rng.choice(BASES))
+        elif r < 2 * rate / 3:
+            pass
+        elif r < rate:
+            out.append(ch)
+            out.append(rng.choice(BASES))
+        else:
+            out.append(ch)
+    return "".join(out) or rng.choice(BASES)
+
+
+def random_pairs(rng, count, max_len=90):
+    pairs = []
+    for _ in range(count):
+        n = rng.randint(1, max_len)
+        q = "".join(rng.choice(BASES) for _ in range(n))
+        t = mutate(rng, q, rng.choice([0.0, 0.02, 0.05, 0.15, 0.4, 0.9]))
+        pairs.append((q.encode(), t.encode()))
+    return pairs
+
+
+def assert_same(res_e, res_o, q, t, ctx=""):
+    assert res_e.score == res_o.score, f"{ctx} score: q={q!r} t={t!r}"
+    assert res_e.cigar(False) == res_o.cigar(False), (
+        f"{ctx} cigar: q={q!r} t={t!r} engine={res_e.cigar(False)} "
+        f"oracle={res_o.cigar(False)}"
+    )
+    for attr in ("q_begin", "q_end", "t_begin", "t_end", "align_len",
+                 "matches", "gaps", "gap_regions"):
+        assert getattr(res_e, attr) == getattr(res_o, attr), (
+            f"{ctx} {attr}: q={q!r} t={t!r}"
+        )
+
+
+GOLDEN_PAIRS = [
+    (b"ACCATACTCG", b"AGGATGCTCG"),
+    (b"AGCTAGTGTCAATGGCTACTTTTCAGGTCCT", b"AACTAAGTGTCGGTGGCTACTATATATCAGGTCCT"),
+    (
+        b"ATTGGAAAATAGGATTGGGGTTTGTTTATATTTGGGTTGAGGGATGTCCCACCTTCGTCGTCCTTACGTTTCCGGAAGGGAGTGGTTAGCTCGAAGCCCA",
+        b"GATTGGAAAATAGGATGGGGTTTGTTTATATTTGGGTTGAGGGATGTCCCACCTTGTCGTCCTTACGTTTCCGGAAGGGAGTGGTTGCTCGAAGCCCA",
+    ),
+    (
+        b"CCGTAGAGTTAGACACTCGACCGTGGTGAATCCGCGACCACCGCTTTGACGGGCGCTCTACGGTATCCCGCGATTTGTGTACGTGAAGCAGTGATTAAAC",
+        b"CCTAGAGTTAGACACTCGACCGTGGTGAATCCGCGATCTACCGCTTTGACGGGCGCTCTACGGTATCCCGCGATTTGTGTACGTGAAGCGAGTGATTAAAC",
+    ),
+    (b"C", b"C"),
+    (b"CG", b"C"),
+    (b"ACTG", b"ACTGA"),
+    (b"GACTGCCGACTGCCGACTGCCGACTGCCGACTGCCGACTGCCGACTGCCGACTGCCGACTGCCGACTGCCGACTGCCGACTGCCTCAGTGCCCGGCGCTCAAGCCTCAAGCCTCAAGCCTCAGGTCTCGCAGCCCACCGCATTCACCCGTGACACCGAACTGCATCGCGAACGCATTTCTCGCCGCAGCCGCGCGCACGGGCGACGCGGACTTGCCGGCAAGCCCGCGCGCCGCCCGATGCGCG",
+     b"GACTGCCGACTGCCGACTGCCGACTGCCTCAGTGCCCGGCGCTCAAGCCTCAAGCCTCAAGCCTCAGGCCTCAGGCCTCGCAGCCCACCGCATTCACCCGTGACACCGAACTTCATCGCGAACGCATTTCTCGCCGCAGCCGCGCGCGCAGGCGACGCGGACTTGCCGGCAAGCCCGCGCGCCGCCCGATGCGCG"),
+]
+
+
+@pytest.mark.parametrize("adaptive", [None, AdaptiveReductionOption(10, 50, 1)],
+                         ids=["plain", "adaptive"])
+def test_engine_golden_corpus_global(adaptive):
+    opts = Options(True)
+    oracle = OracleAligner(Penalties(), opts, adaptive)
+    engine = BatchAligner(Penalties(), opts, adaptive, k_win=128, s_cap=256)
+    results = engine.align_batch(GOLDEN_PAIRS)
+    for (q, t), res_e in zip(GOLDEN_PAIRS, results):
+        assert_same(res_e, oracle.align(q, t), q, t, "global")
+
+
+@pytest.mark.parametrize("adaptive", [None, AdaptiveReductionOption(10, 50, 1)],
+                         ids=["plain", "adaptive"])
+def test_engine_golden_corpus_semiglobal(adaptive):
+    opts = Options(False)
+    oracle = OracleAligner(Penalties(), opts, adaptive)
+    engine = BatchAligner(Penalties(), opts, adaptive, k_win=512, s_cap=256)
+    pairs = GOLDEN_PAIRS + [
+        (b"ACGATCTCG", b"CAGGCTCCTCGG"),
+        (b"Bioinformatics helps Biology",
+         b"We learn bioinformatics to help biologists"),
+    ]
+    results = engine.align_batch(pairs)
+    for (q, t), res_e in zip(pairs, results):
+        assert_same(res_e, oracle.align(q, t), q, t, "semi")
+
+
+@pytest.mark.parametrize("global_alignment", [True, False], ids=["global", "semi"])
+@pytest.mark.parametrize("adaptive", [None, AdaptiveReductionOption(10, 50, 1)],
+                         ids=["plain", "adaptive"])
+def test_engine_random_batches(global_alignment, adaptive):
+    rng = random.Random(1234 if global_alignment else 4321)
+    opts = Options(global_alignment)
+    p = Penalties(4, 6, 2)
+    oracle = OracleAligner(p, opts, adaptive)
+    engine = BatchAligner(p, opts, adaptive, k_win=256, s_cap=512)
+    for batch_i in range(3):
+        pairs = random_pairs(rng, 16)
+        results = engine.align_batch(pairs)
+        for (q, t), res_e in zip(pairs, results):
+            assert_same(res_e, oracle.align(q, t), q, t,
+                        f"batch{batch_i} {'g' if global_alignment else 's'}")
+
+
+@pytest.mark.parametrize("penalties", [Penalties(2, 3, 1), Penalties(5, 1, 1),
+                                       Penalties(3, 2, 5)])
+def test_engine_random_penalties(penalties):
+    rng = random.Random(99)
+    oracle = OracleAligner(penalties, Options(True), None)
+    engine = BatchAligner(penalties, Options(True), None, k_win=256, s_cap=512)
+    pairs = random_pairs(rng, 12, max_len=60)
+    results = engine.align_batch(pairs)
+    for (q, t), res_e in zip(pairs, results):
+        assert_same(res_e, oracle.align(q, t), q, t, "pen")
+
+
+def test_batch_vs_single_equivalence():
+    """A pair's result must not depend on its batch-mates (masking)."""
+    rng = random.Random(7)
+    p = Penalties(4, 6, 2)
+    engine = BatchAligner(p, Options(True), AdaptiveReductionOption(10, 50, 1),
+                          k_win=256, s_cap=512)
+    pairs = random_pairs(rng, 8, max_len=80)
+    batched = engine.align_batch(pairs)
+    for (q, t), res_b in zip(pairs, batched):
+        res_s = engine.align_batch([(q, t)])[0]
+        assert res_b.score == res_s.score
+        assert res_b.cigar(False) == res_s.cigar(False)
+
+
+def test_overflow_falls_back_to_oracle():
+    """Tiny s_cap forces the device loop to give up; results must still be
+    exact via the host fallback."""
+    p = Penalties(4, 6, 2)
+    engine = BatchAligner(p, Options(True), None, k_win=32, s_cap=16)
+    oracle = OracleAligner(p, Options(True), None)
+    rng = random.Random(5)
+    pairs = random_pairs(rng, 6, max_len=70)
+    results = engine.align_batch(pairs)
+    for (q, t), res_e in zip(pairs, results):
+        assert_same(res_e, oracle.align(q, t), q, t, "fallback")
