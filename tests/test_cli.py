@@ -1,0 +1,103 @@
+"""CLI tests: flag parity and byte-exact output vs reference-recorded blocks."""
+
+import io
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SEQS = os.path.join(REPO, "tests", "data", "seqs.txt")
+
+# README.md:245-254 of the reference — recorded `wfa-go -i seqs.txt` output
+# for pair 1 (current-format v0.4.0 output).
+PAIR1_BLOCK = """\
+query   A-TTGGAAAATAGGATTGGGGTTTGTTTATATTTGGGTTGAGGGATGTCCCACCTTCGTCGTCCTTACGTTTCCGGAAGGGAGTGGTTAGCTCGAAGCCCA
+          |||||||||||||| ||||||||||||||||||||||||||||||||||||||| ||||||||||||||||||||||||||||||| ||||||||||||
+target  GATTGGAAAATAGGAT-GGGGTTTGTTTATATTTGGGTTGAGGGATGTCCCACCTT-GTCGTCCTTACGTTTCCGGAAGGGAGTGGTT-GCTCGAAGCCCA
+cigar   1X1I14M1D39M1D31M1D12M
+
+align-score : 36
+match-region: q[2, 100]/100 vs t[3, 98]/98
+align-length: 99, matches: 96 (96.97%), gaps: 3, gap regions: 3
+"""
+
+# README.md:230-239 — recorded positional-args output.
+POSITIONAL_BLOCK = """\
+query   AGCTA-GTGTCAATGGCTACT---TTTCAGGTCCT
+        | ||| |||||  ||||||||   | |||||||||
+target  AACTAAGTGTCGGTGGCTACTATATATCAGGTCCT
+cigar   1M1X3M1I5M2X8M3I1M1X9M
+
+align-score : 36
+match-region: q[1, 31]/31 vs t[1, 35]/35
+align-length: 35, matches: 27 (77.14%), gaps: 4, gap regions: 2
+"""
+
+
+def run_cli(*args):
+    from wfa_tpu import cli
+
+    buf = io.StringIO()
+    old = sys.stdout
+    sys.stdout = buf
+    try:
+        rc = cli.main(list(args))
+    finally:
+        sys.stdout = old
+    return rc, buf.getvalue()
+
+
+def test_cli_file_mode_pair1():
+    rc, out = run_cli("-i", SEQS)
+    assert rc == 0
+    blocks = out.strip("\n").split("\n\n")
+    # output format: [rows+cigar, stats] per pair
+    got_pair1 = "\n\n".join([blocks[0], blocks[1]]) + "\n"
+    assert got_pair1 == PAIR1_BLOCK
+
+
+def test_cli_positional_mode():
+    rc, out = run_cli(
+        "AGCTAGTGTCAATGGCTACTTTTCAGGTCCT",
+        "AACTAAGTGTCGGTGGCTACTATATATCAGGTCCT",
+    )
+    assert rc == 0
+    assert out == POSITIONAL_BLOCK + "\n"
+
+
+def test_cli_no_output_flag():
+    rc, out = run_cli("-i", SEQS, "-N")
+    assert rc == 0
+    assert out == ""
+
+
+def test_cli_missing_args_errors():
+    rc, _ = run_cli("ONLYONESEQ")
+    assert rc == 1
+
+
+def test_cli_trim_flag():
+    """-t trims to the first..last M run (reference trimOps,
+    wfa_cigar.go:217-233); verified trimmed cigar for the front example."""
+    rc, out = run_cli(
+        "-g", "-t", "Bioinformatics helps Biology",
+        "We learn bioinformatics to help biologists",
+    )
+    assert rc == 0
+    assert "cigar   14M3I4M1D1M1X5M" in out
+    assert "query   ioinformatics ---helps Biolog" in out
+
+
+def test_cli_semi_global_flag():
+    # README.md:17-27 front-page example (semi-global)
+    rc, out = run_cli(
+        "-g", "Bioinformatics helps Biology",
+        "We learn bioinformatics to help biologists",
+    )
+    assert rc == 0
+    assert "align-score : 32" in out
+    assert "cigar   9I1X14M3I4M1D1M1X5M1X3I" in out
+    assert "match-region: q[2, 27]/28 vs t[11, 38]/42" in out
+    assert "align-length: 29, matches: 24 (82.76%), gaps: 4, gap regions: 2" in out

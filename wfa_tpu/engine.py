@@ -689,9 +689,15 @@ class BatchAligner:
     # -- public API ---------------------------------------------------------
 
     def align_batch(
-        self, pairs: Sequence[Tuple[bytes, bytes]]
-    ) -> List[AlignmentResult]:
+        self,
+        pairs: Sequence[Tuple[bytes, bytes]],
+        fallback: bool = True,
+    ) -> List[Optional[AlignmentResult]]:
         """Align a batch of (query, target) pairs; returns results in order.
+
+        Pairs that overflow the configured windows are completed by the
+        exact host oracle when ``fallback`` is True, else returned as
+        ``None`` (so a pipeline can re-batch them with larger caps).
 
         Raises EmptySeqError/SeqTooLongError on invalid pairs, matching
         the reference's guards (wfa.go:204-209).
@@ -711,8 +717,10 @@ class BatchAligner:
             need = Lq + Lt - 1
             if need > self.cfg.k_win:
                 # semi-global seeds span the full diagonal range; fall back
-                # to the oracle when the window cannot hold them.
-                return [self._oracle.align(q, t) for q, t in pairs]
+                # when the window cannot hold them.
+                if fallback:
+                    return [self._oracle.align(q, t) for q, t in pairs]
+                return [None] * B
 
         qb = np.zeros((B, Lq), np.uint8)
         tb = np.zeros((B, Lt), np.uint8)
@@ -730,16 +738,16 @@ class BatchAligner:
             cfg=self.cfg, B=B, Lq=Lq, Lt=Lt,
         )
         st = jax.device_get(st)
-        return self._finish(pairs, st)
+        return self._finish(pairs, st, fallback)
 
     # -- host-side completion -------------------------------------------------
 
-    def _finish(self, pairs, st) -> List[AlignmentResult]:
-        results: List[AlignmentResult] = []
+    def _finish(self, pairs, st, fallback: bool) -> List[Optional[AlignmentResult]]:
+        results: List[Optional[AlignmentResult]] = []
         p = self.cfg.penalties
         for i, (q, t) in enumerate(pairs):
             if st.overflow[i]:
-                results.append(self._oracle.align(q, t))
+                results.append(self._oracle.align(q, t) if fallback else None)
                 continue
             s_fin = int(st.final_s[i])
             M = _HistView(
