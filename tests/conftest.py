@@ -2,18 +2,21 @@
 
 Tests never require real TPU hardware; multi-device sharding is exercised
 on a virtual CPU mesh (the TPU substitute for multi-chip tests).
-This must run before jax is imported anywhere.
 
-NOTE: in this environment the axon TPU plugin overrides JAX_PLATFORMS,
-so JAX_PLATFORM_NAME (which wins) is set too.
+NOTE: this environment's sitecustomize imports jax at interpreter start
+and pins JAX_PLATFORMS=axon, so env vars are too late here — only
+``jax.config.update`` (pre-backend-init) switches the platform.  XLA_FLAGS
+is still read lazily at CPU backend init, so setting it here works.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

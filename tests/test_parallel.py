@@ -1,0 +1,106 @@
+"""Sharding tests on the virtual 8-device CPU mesh.
+
+Data-parallel results must match single-device results exactly — the TPU
+substitute for multi-node tests (no real multi-chip hardware needed).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _packed_batch(B, L, k_win, seed=3):
+    from wfa_tpu import AdaptiveReductionOption, Options, Penalties
+    from wfa_tpu.datagen import generate_pairs
+    from wfa_tpu.engine import BatchAligner
+
+    pairs = generate_pairs(B, L, 0.15, seed=seed)
+    packer = BatchAligner(
+        Penalties(), Options(True), AdaptiveReductionOption(),
+        k_win=k_win, s_cap=128,
+    )
+    qb, tbuf, qlen, tlen, toff, Lq, Ltb = packer.pack_batch(pairs)
+    args = tuple(jnp.asarray(a) for a in (qb, tbuf, qlen, tlen, toff))
+    return pairs, args, Lq, Ltb
+
+
+@pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+def test_dp_scores_match_single_device():
+    from wfa_tpu import AdaptiveReductionOption, Penalties
+    from wfa_tpu.engine import EngineConfig, _run_batch
+    from wfa_tpu.parallel import dp_align_scores, make_dp_mesh
+
+    B, L, K = 16, 48, 128
+    cfg = EngineConfig(
+        penalties=Penalties(),
+        global_alignment=True,
+        adaptive=AdaptiveReductionOption(),
+        k_win=K,
+        s_cap=128,
+    )
+    pairs, args, Lq, Ltb = _packed_batch(B, L, K)
+
+    st_single = _run_batch(*args, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb)
+    mesh = make_dp_mesh(8)
+    scores, done = dp_align_scores(*args, cfg=cfg, mesh=mesh, Lq=Lq, Ltb=Ltb)
+    np.testing.assert_array_equal(np.asarray(scores), np.asarray(st_single.final_s))
+    np.testing.assert_array_equal(np.asarray(done), np.asarray(st_single.done))
+    assert bool(np.all(np.asarray(done))), "all pairs should finish within caps"
+
+
+@pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+def test_dp_full_matches_oracle():
+    """Sharded full path (score+backtrace) decodes to oracle results."""
+    from wfa_tpu import AdaptiveReductionOption, Options, Penalties, OracleAligner
+    from wfa_tpu.engine import BatchAligner, EngineConfig
+    from wfa_tpu.parallel import dp_align_full, make_dp_mesh
+
+    B, L, K = 16, 48, 128
+    cfg = EngineConfig(
+        penalties=Penalties(),
+        global_alignment=True,
+        adaptive=AdaptiveReductionOption(),
+        k_win=K,
+        s_cap=128,
+    )
+    pairs, args, Lq, Ltb = _packed_batch(B, L, K)
+    mesh = make_dp_mesh(8)
+    out = jax.device_get(
+        dp_align_full(*args, cfg=cfg, mesh=mesh, Lq=Lq, Ltb=Ltb)
+    )
+    ba = BatchAligner(
+        Penalties(), Options(True), AdaptiveReductionOption(),
+        k_win=K, s_cap=128,
+    )
+    results = ba._finish(pairs, out, fallback=True)
+    oracle = OracleAligner(Penalties(), Options(True), AdaptiveReductionOption())
+    for (q, t), res in zip(pairs, results):
+        want = oracle.align(q, t)
+        assert res.score == want.score
+        assert res.cigar(False) == want.cigar(False)
+
+
+@pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    scores, cnt, overflow = jax.device_get(out)
+    assert scores.shape == (8,)
+    assert not overflow.any()
+    assert (cnt > 0).all()

@@ -2,16 +2,19 @@
 
 TPU-native re-design of the reference's per-pair scalar score loop
 (wfa.go:228-251): a whole batch of pairs advances in lockstep, one score
-per iteration of a single compiled ``lax.while_loop``, with per-pair done
-masks.  Storage is dense, not pointer-chased:
+per iteration of a single compiled loop, with per-pair done masks.
+Storage is dense, not pointer-chased:
 
-* per component (M/I/D) a ``int32[B, S_cap, K_win]`` history of packed
+* per component (M/I/D) an ``int32[S_cap, B, K_win]`` history of packed
   cells (``offset << 3 | tag``, 0 = absent — the same encoding as the
   reference, wfa_wavefront.go:44/93, so backtraces replay bit-identically);
-* per score a window origin ``k0[B, S_cap]`` mapping window column j to
-  diagonal ``k = k0 + j``, plus per-component live bands ``lo/hi`` and
-  existence flags (the dense analogs of wfa_wavefront.go:45-48 and
-  wfa_component.go:81-101).
+* a *fixed per-pair window origin* ``k0[b]`` maps window column j to
+  diagonal ``k = k0 + j`` for every score.  A fixed origin makes all of
+  next()'s shifted source reads static ±1 column shifts — no gathers —
+  and lets the target sequence be pre-placed at column offset ``-k0`` so
+  extension compares are uniform across the batch;
+* per-component live bands ``lo/hi[S_cap, B]`` and existence flags (the
+  dense analogs of wfa_wavefront.go:45-48 / wfa_component.go:81-101).
 
 One engine iteration fuses the reference's extend (wfa.go:381-458) —
 a vectorized 4-byte-packed LCP over all live diagonals — the termination
@@ -19,10 +22,9 @@ test (wfa.go:235-239), wf-adaptive reduction (wfa.go:461-540) expressed as
 masked band-bound updates, and next (wfa.go:549-700) as shifted window
 reads + element-wise max/select with the reference's exact tie-breaking.
 
-The sequential, data-dependent backtrace runs host-side over the fetched
-history (wfa_tpu.backtrace; optionally the native C++ runtime), which is
-the right split: the device does the O(s·band) vector work, the host the
-O(path) pointer chase.
+The sequential, data-dependent backtrace also runs on device
+(wfa_tpu.device_backtrace) so only compact op-token buffers ever leave
+the chip; the wavefront history stays in HBM.
 """
 
 from __future__ import annotations
@@ -37,7 +39,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .backtrace import back_trace, backtrace_start_position
 from .cigar import AlignmentResult
 from .constants import (
     MAX_SEQ_LEN,
@@ -64,17 +65,16 @@ class _State(NamedTuple):
     done: jnp.ndarray  # [B] bool
     overflow: jnp.ndarray  # [B] bool — window/score-cap overflow → fallback
     final_s: jnp.ndarray  # [B] int32
-    hist_m: jnp.ndarray  # [B, S, K] int32 packed cells
+    hist_m: jnp.ndarray  # [S, B, K] int32 packed cells
     hist_i: jnp.ndarray
     hist_d: jnp.ndarray
-    k0: jnp.ndarray  # [B, S] int32 window origin (diagonal of column 0)
-    lo_m: jnp.ndarray  # [B, S] int32 live band (k-space)
+    lo_m: jnp.ndarray  # [S, B] int32 live band (k-space)
     hi_m: jnp.ndarray
     lo_i: jnp.ndarray
     hi_i: jnp.ndarray
     lo_d: jnp.ndarray
     hi_d: jnp.ndarray
-    ex_m: jnp.ndarray  # [B, S] bool — wavefront exists (has_score)
+    ex_m: jnp.ndarray  # [S, B] bool — wavefront exists (has_score)
     ex_i: jnp.ndarray
     ex_d: jnp.ndarray
 
@@ -84,8 +84,19 @@ class EngineConfig:
     penalties: Penalties = Penalties()
     global_alignment: bool = True
     adaptive: Optional[AdaptiveReductionOption] = None
-    k_win: int = 128  # diagonal window width (power of two preferred)
+    k_win: int = 128  # diagonal window width (multiple of 128 preferred)
     s_cap: int = 256  # max score + 1
+
+
+def window_origin(qlen: int, tlen: int, k_win: int, global_alignment: bool) -> int:
+    """Fixed per-pair window origin k0 (column 0's diagonal).
+
+    Global: centered between the seed diagonal 0 and the terminal diagonal
+    Ak = tlen-qlen.  Semi-global: the full range starts at -(qlen-1)."""
+    if not global_alignment:
+        return -(qlen - 1)
+    ak = tlen - qlen
+    return ak // 2 - k_win // 2
 
 
 def _pack_words(b: jnp.ndarray) -> jnp.ndarray:
@@ -95,31 +106,41 @@ def _pack_words(b: jnp.ndarray) -> jnp.ndarray:
 
 
 def _row_at(arr: jnp.ndarray, s) -> jnp.ndarray:
-    """arr[:, s, :] with traced s."""
-    B, S, K = arr.shape
-    return lax.dynamic_slice(arr, (0, s, 0), (B, 1, K))[:, 0, :]
+    """arr[s] with traced s: [S, B, K] -> [B, K]."""
+    S, B, K = arr.shape
+    return lax.dynamic_slice(arr, (s, 0, 0), (1, B, K))[0]
 
 
 def _col_at(arr: jnp.ndarray, s) -> jnp.ndarray:
-    """arr[:, s] with traced s."""
-    B, S = arr.shape
-    return lax.dynamic_slice(arr, (0, s), (B, 1))[:, 0]
+    """arr[s] with traced s: [S, B] -> [B]."""
+    S, B = arr.shape
+    return lax.dynamic_slice(arr, (s, 0), (1, B))[0]
 
 
 def _set_row(arr: jnp.ndarray, s, row: jnp.ndarray) -> jnp.ndarray:
-    return lax.dynamic_update_slice(arr, row[:, None, :], (0, s, 0))
+    return lax.dynamic_update_slice(arr, row[None], (s, 0, 0))
 
 
 def _set_col(arr: jnp.ndarray, s, col: jnp.ndarray) -> jnp.ndarray:
-    return lax.dynamic_update_slice(arr, col[:, None], (0, s))
+    return lax.dynamic_update_slice(arr, col[None], (s, 0))
 
 
 def _masked_min(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    return jnp.min(jnp.where(mask, vals, _BIG), axis=1)
+    return jnp.min(jnp.where(mask, vals, _BIG), axis=-1)
 
 
 def _masked_max(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    return jnp.max(jnp.where(mask, vals, -_BIG), axis=1)
+    return jnp.max(jnp.where(mask, vals, -_BIG), axis=-1)
+
+
+def _shift_km1(row: jnp.ndarray) -> jnp.ndarray:
+    """value at diagonal k-1: column j-1 (zero-fill)."""
+    return jnp.concatenate([jnp.zeros_like(row[:, :1]), row[:, :-1]], axis=1)
+
+
+def _shift_kp1(row: jnp.ndarray) -> jnp.ndarray:
+    """value at diagonal k+1: column j+1 (zero-fill)."""
+    return jnp.concatenate([row[:, 1:], jnp.zeros_like(row[:, :1])], axis=1)
 
 
 def _delete_range_asc(dl, dh, lo, hi):
@@ -142,11 +163,18 @@ def _delete_range_asc(dl, dh, lo, hi):
     return new_lo, new_hi, z_lo, z_hi
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "B", "Lq", "Lt")
-)
-def _run_batch(qb, tb, qlen, tlen, *, cfg: EngineConfig, B: int, Lq: int, Lt: int):
-    """Run the full score loop for a padded batch; returns final state."""
+def _run_batch_impl(
+    qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig, B: int, Lq: int, Ltb: int
+):
+    """Run the full score loop for a padded batch; returns final state.
+
+    ``tbuf`` holds each target pre-placed at column offset ``toff[b] ==
+    -k0[b]`` so that target position h lives at column ``h + toff`` —
+    uniform, gather-free extension indexing.
+
+    Pure traced function (no jit) so it can be wrapped by ``jax.jit``
+    directly or placed inside ``shard_map`` for data-parallel execution.
+    """
     p = cfg.penalties
     x = np.int32(p.mismatch)
     oe = np.int32(p.gap_open + p.gap_ext)
@@ -159,109 +187,91 @@ def _run_batch(qb, tb, qlen, tlen, *, cfg: EngineConfig, B: int, Lq: int, Lt: in
 
     qlen = qlen.astype(jnp.int32)
     tlen = tlen.astype(jnp.int32)
+    toff = toff.astype(jnp.int32)
+    k0 = -toff  # [B] fixed window origin
     q4 = _pack_words(qb)
-    t4 = _pack_words(tb)
+    t4 = _pack_words(tbuf)
     qi = qb.astype(jnp.int32)
-    ti = tb.astype(jnp.int32)
 
     iota = jnp.arange(K, dtype=jnp.int32)[None, :]  # [1, K]
+    ks = k0[:, None] + iota  # [B, K] — constant for the whole run
     Ak = tlen - qlen  # [B]
+    j_ak = (Ak - k0)[:, None]  # [B,1] terminal diagonal's column
 
     # ---------------- seeding (wfa.go:143-184) ----------------
-    hist_m = jnp.zeros((B, S, K), jnp.int32)
-    hist_i = jnp.zeros((B, S, K), jnp.int32)
-    hist_d = jnp.zeros((B, S, K), jnp.int32)
-    k0 = jnp.zeros((B, S), jnp.int32)
-    lo_m = jnp.full((B, S), _BIG, jnp.int32)
-    hi_m = jnp.full((B, S), -_BIG, jnp.int32)
-    lo_i = jnp.full((B, S), _BIG, jnp.int32)
-    hi_i = jnp.full((B, S), -_BIG, jnp.int32)
-    lo_d = jnp.full((B, S), _BIG, jnp.int32)
-    hi_d = jnp.full((B, S), -_BIG, jnp.int32)
-    ex_m = jnp.zeros((B, S), bool)
-    ex_i = jnp.zeros((B, S), bool)
-    ex_d = jnp.zeros((B, S), bool)
+    hist_m = jnp.zeros((S, B, K), jnp.int32)
+    hist_i = jnp.zeros((S, B, K), jnp.int32)
+    hist_d = jnp.zeros((S, B, K), jnp.int32)
+    lo_m = jnp.full((S, B), _BIG, jnp.int32)
+    hi_m = jnp.full((S, B), -_BIG, jnp.int32)
+    lo_i = jnp.full((S, B), _BIG, jnp.int32)
+    hi_i = jnp.full((S, B), -_BIG, jnp.int32)
+    lo_d = jnp.full((S, B), _BIG, jnp.int32)
+    hi_d = jnp.full((S, B), -_BIG, jnp.int32)
+    ex_m = jnp.zeros((S, B), bool)
+    ex_i = jnp.zeros((S, B), bool)
+    ex_d = jnp.zeros((S, B), bool)
 
-    eq00 = qi[:, 0] == ti[:, 0]  # [B]
+    # the window must contain the seed diagonal(s) and the terminal one
+    overflow0 = (
+        (Ak < k0) | (Ak >= k0 + K) | (0 < k0) | (0 >= k0 + K)
+    )
+    if not cfg.global_alignment:
+        overflow0 = overflow0 | ((tlen - 1) >= k0 + K)
+
+    ti = tbuf.astype(jnp.int32)
+    t_at_col = lambda col: jnp.take_along_axis(
+        ti, jnp.clip(col, 0, Ltb - 1), axis=1
+    )
+    eq00 = qi[:, 0] == t_at_col(toff[:, None])[:, 0]  # q[0] vs t[0]
+    bidx = jnp.arange(B)
     if cfg.global_alignment:
         s0 = jnp.where(eq00, 0, x).astype(jnp.int32)  # [B]
         tag0 = jnp.where(eq00, T_MATCH, T_MISMATCH).astype(jnp.int32)
         cell0 = (jnp.int32(1) << TYPE_BITS) | tag0
-        bidx = jnp.arange(B)
-        hist_m = hist_m.at[bidx, s0, 0].set(cell0)
-        lo_m = lo_m.at[bidx, s0].set(0)
-        hi_m = hi_m.at[bidx, s0].set(0)
-        ex_m = ex_m.at[bidx, s0].set(True)
-        # k0 at s0 is already 0
+        j0 = -k0  # column of diagonal 0
+        hist_m = hist_m.at[s0, bidx, j0].set(cell0, mode="drop")
+        lo_m = lo_m.at[s0, bidx].set(0, mode="drop")
+        hi_m = hi_m.at[s0, bidx].set(0, mode="drop")
+        ex_m = ex_m.at[s0, bidx].set(True, mode="drop")
     else:
-        # semi-global first-row/column seeds over the full diagonal range
-        # [-(n-1), m-1] (wfa.go:163-183).  Requires K >= n + m - 1.
-        k0_seed = -(qlen - 1)  # [B]
-        ks = k0_seed[:, None] + iota  # [B, K]
-        in_range = (ks >= k0_seed[:, None]) & (ks <= (tlen - 1)[:, None])
+        # semi-global first-row/column seeds over [-(n-1), m-1]
+        # (wfa.go:163-183).  k0 == -(n-1), so column j holds diagonal
+        # k = j - (n-1); requires K >= n + m - 1 (checked via overflow0).
+        in_range = (ks >= k0[:, None]) & (ks <= (tlen - 1)[:, None])
         # k >= 0: first row, offset k+1, compare q[0] vs t[k]
         # k < 0: first column, offset 1, compare q[-k] vs t[0]
-        t_at_k = jnp.take_along_axis(ti, jnp.clip(ks, 0, Lt - 1), axis=1)
+        t_at_k = t_at_col(ks + toff[:, None])
         q_at_mk = jnp.take_along_axis(qi, jnp.clip(-ks, 0, Lq - 1), axis=1)
-        eq = jnp.where(ks >= 0, qi[:, :1] == t_at_k, q_at_mk == ti[:, :1])
+        eq = jnp.where(ks >= 0, qi[:, :1] == t_at_k, q_at_mk == ti[:, :1] * 0
+                       + jnp.take_along_axis(ti, toff[:, None], axis=1))
         off = jnp.where(ks >= 0, ks + 1, 1)
         cell_eq = (off << TYPE_BITS) | T_MATCH
         cell_ne = (off << TYPE_BITS) | T_MISMATCH
         row_eq = jnp.where(in_range & eq, cell_eq, 0)
         row_ne = jnp.where(in_range & ~eq, cell_ne, 0)
         if p.mismatch == 0:  # both seed sets land on score 0
-            row0, rowx = row_eq + row_ne, jnp.zeros_like(row_eq)
+            rows = ((0, row_eq + row_ne),)
         else:
-            row0, rowx = row_eq, row_ne
-        for s_seed, row in ((0, row0), (int(p.mismatch), rowx)):
-            if s_seed == 0 and row is rowx:
-                continue
+            rows = ((0, row_eq), (int(p.mismatch), row_ne))
+        for s_seed, row in rows:
             any_set = jnp.any(row > 0, axis=1)
             lo_s = _masked_min(ks, row > 0)
             hi_s = _masked_max(ks, row > 0)
-            hist_m = hist_m.at[:, s_seed, :].set(row)
-            k0 = k0.at[:, s_seed].set(k0_seed)
-            lo_m = lo_m.at[:, s_seed].set(jnp.where(any_set, lo_s, _BIG))
-            hi_m = hi_m.at[:, s_seed].set(jnp.where(any_set, hi_s, -_BIG))
-            ex_m = ex_m.at[:, s_seed].set(any_set)
-            if p.mismatch == 0:
-                break
+            hist_m = hist_m.at[s_seed].set(row)
+            lo_m = lo_m.at[s_seed].set(jnp.where(any_set, lo_s, _BIG))
+            hi_m = hi_m.at[s_seed].set(jnp.where(any_set, hi_s, -_BIG))
+            ex_m = ex_m.at[s_seed].set(any_set)
 
     state = _State(
         s=jnp.int32(0),
         done=jnp.zeros((B,), bool),
-        overflow=jnp.zeros((B,), bool),
+        overflow=overflow0,
         final_s=jnp.zeros((B,), jnp.int32),
         hist_m=hist_m, hist_i=hist_i, hist_d=hist_d,
-        k0=k0,
         lo_m=lo_m, hi_m=hi_m, lo_i=lo_i, hi_i=hi_i, lo_d=lo_d, hi_d=hi_d,
         ex_m=ex_m, ex_i=ex_i, ex_d=ex_d,
     )
-
-    def read_source(hist, lo_c, hi_c, ex_c, k0_all, s_cur, diff, k_tgt):
-        """Component value at score s_cur - diff and diagonals k_tgt [B,K].
-        Returns (offset [B,K], found [B,K]) — GetAfterDiff semantics
-        (wfa_component.go:158-167)."""
-        sp = s_cur - diff
-        okd = diff <= s_cur  # scalar bool (diff is a trace-time constant)
-        spc = jnp.clip(sp, 0, S - 1)
-        row = _row_at(hist, spc)
-        k0sp = _col_at(k0_all, spc)[:, None]
-        lo_sp = _col_at(lo_c, spc)[:, None]
-        hi_sp = _col_at(hi_c, spc)[:, None]
-        ex_sp = _col_at(ex_c, spc)[:, None]
-        j = k_tgt - k0sp
-        val = jnp.take_along_axis(row, jnp.clip(j, 0, K - 1), axis=1)
-        found = (
-            okd
-            & ex_sp
-            & (j >= 0)
-            & (j < K)
-            & (k_tgt >= lo_sp)
-            & (k_tgt <= hi_sp)
-            & (val > 0)
-        )
-        return jnp.where(found, val >> TYPE_BITS, 0), found
 
     def krange(lo_c, hi_c, ex_c, s_cur, diff):
         """KRange with the reference's (0,0) fallback (wfa_component.go:91)."""
@@ -273,13 +283,24 @@ def _run_batch(qb, tb, qlen, tlen, *, cfg: EngineConfig, B: int, Lq: int, Lt: in
         hi = jnp.where(ex_sp, _col_at(hi_c, spc), 0)
         return lo, hi
 
+    def read_row(hist, lo_c, hi_c, ex_c, s_cur, diff):
+        """Source row at score s_cur - diff with per-cell found mask —
+        GetAfterDiff semantics (wfa_component.go:158-167), same window."""
+        sp = s_cur - diff
+        okd = diff <= s_cur
+        spc = jnp.clip(sp, 0, S - 1)
+        row = _row_at(hist, spc)
+        lo_sp = _col_at(lo_c, spc)[:, None]
+        hi_sp = _col_at(hi_c, spc)[:, None]
+        ex_sp = (_col_at(ex_c, spc) & okd)[:, None]
+        found = ex_sp & (ks >= lo_sp) & (ks <= hi_sp) & (row > 0)
+        return jnp.where(found, row >> TYPE_BITS, 0), found
+
     def body(st: _State) -> _State:
         s = st.s
-        k0s = _col_at(st.k0, s)  # [B]
         lo_ms = _col_at(st.lo_m, s)
         hi_ms = _col_at(st.hi_m, s)
         ex_ms = _col_at(st.ex_m, s)
-        ks = k0s[:, None] + iota  # [B, K]
 
         # ---------------- extend (wfa.go:381-458) ----------------
         row_m = _row_at(st.hist_m, s)
@@ -307,7 +328,10 @@ def _run_batch(qb, tb, qlen, tlen, *, cfg: EngineConfig, B: int, Lq: int, Lt: in
         def lcp_body(c):
             v, h, n_acc, act = c
             qa = jnp.take_along_axis(q4, jnp.clip(v, 0, Lq - 1), axis=1)
-            ta = jnp.take_along_axis(t4, jnp.clip(h, 0, Lt - 1), axis=1)
+            # target position h lives at column h + toff
+            ta = jnp.take_along_axis(
+                t4, jnp.clip(h + toff[:, None], 0, Ltb - 1), axis=1
+            )
             xw = qa ^ ta
             # leading equal bytes of the 4-byte words
             nb = jnp.where(
@@ -338,16 +362,14 @@ def _run_batch(qb, tb, qlen, tlen, *, cfg: EngineConfig, B: int, Lq: int, Lt: in
         hist_m = _set_row(st.hist_m, s, row_m)
 
         # ---------------- termination (wfa.go:235-239) ----------------
-        j_ak = Ak - k0s  # [B]
         cell_ak = jnp.take_along_axis(
-            row_m, jnp.clip(j_ak, 0, K - 1)[:, None], axis=1
+            row_m, jnp.clip(j_ak, 0, K - 1), axis=1
         )[:, 0]
+        ak_flat = Ak
         found_ak = (
             ex_ms
-            & (j_ak >= 0)
-            & (j_ak < K)
-            & (Ak >= lo_ms)
-            & (Ak <= hi_ms)
+            & (ak_flat >= lo_ms)
+            & (ak_flat <= hi_ms)
             & (cell_ak > 0)
         )
         off_ak = jnp.where(found_ak, cell_ak >> TYPE_BITS, 0)
@@ -379,8 +401,8 @@ def _run_batch(qb, tb, qlen, tlen, *, cfg: EngineConfig, B: int, Lq: int, Lt: in
             any_marked = jnp.any(marked, axis=1)
             any_good = jnp.any(good, axis=1)
             last_good = _masked_max(jj, good)
-            new_lo = jnp.where(last_mark > -_BIG, k0s + last_mark + 1, lo_ms)
-            new_hi = jnp.where(any_marked & any_good, k0s + last_good, hi_ms)
+            new_lo = jnp.where(last_mark > -_BIG, k0 + last_mark + 1, lo_ms)
+            new_hi = jnp.where(any_marked & any_good, k0 + last_good, hi_ms)
             new_lo = jnp.where(red, new_lo, lo_ms)
             new_hi = jnp.where(red, new_hi, hi_ms)
 
@@ -440,24 +462,23 @@ def _run_batch(qb, tb, qlen, tlen, *, cfg: EngineConfig, B: int, Lq: int, Lt: in
             jnp.minimum(jnp.minimum(lo_x, lo_o), jnp.minimum(lo_ie, lo_de)) - 1,
         )
 
-        ex_m_old = _col_at(st.ex_m, s2)
-        k0_old = _col_at(st.k0, s2)
-        lo_m_old = _col_at(lo_m_all, s2)
-        hi_m_old = _col_at(hi_m_all, s2)
-        k0n = jnp.where(ex_m_old, jnp.minimum(lo_n, k0_old), lo_n)
-        width = jnp.maximum(hi_n, jnp.where(ex_m_old, hi_m_old, hi_n)) - k0n + 1
-        overflow = st.overflow | ((~done) & (width > K))
+        # the fixed window must hold the new band
+        overflow = st.overflow | (
+            (~done) & ((lo_n < k0) | (hi_n >= k0 + K))
+        )
         live = ((~done) & (~overflow))[:, None]
 
-        ks2 = k0n[:, None] + iota  # [B, K]
+        # source rows: static ±1 column shifts (no realignment gathers)
+        moe, f_moe = read_row(hist_m, lo_m_all, hi_m_all, st.ex_m, s2, oe)
+        mx, f_mx = read_row(hist_m, lo_m_all, hi_m_all, st.ex_m, s2, x)
+        ie, f_ie = read_row(hist_i, lo_i_all, hi_i_all, st.ex_i, s2, e)
+        de, f_de = read_row(hist_d, lo_d_all, hi_d_all, st.ex_d, s2, e)
 
-        # insertion (wfa.go:578-608)
-        v1i, fmi = read_source(
-            hist_m, lo_m_all, hi_m_all, st.ex_m, st.k0, s2, oe, ks2 - 1
-        )
-        v2i, fii = read_source(
-            hist_i, lo_i_all, hi_i_all, st.ex_i, st.k0, s2, e, ks2 - 1
-        )
+        # insertion (wfa.go:578-608): sources at k-1
+        v1i = _shift_km1(moe)
+        fmi = _shift_km1(f_moe.astype(jnp.int32)).astype(bool)
+        v2i = _shift_km1(ie)
+        fii = _shift_km1(f_ie.astype(jnp.int32)).astype(bool)
         bad = fmi & (v1i > tlen[:, None])
         fmi, v1i = fmi & ~bad, jnp.where(bad, 0, v1i)
         bad = fii & (v2i > tlen[:, None])
@@ -466,26 +487,22 @@ def _run_batch(qb, tb, qlen, tlen, *, cfg: EngineConfig, B: int, Lq: int, Lt: in
         upd_i = fmi | fii
         tag_i = jnp.where(fmi & (v1i >= v2i), T_INS_OPEN, T_INS_EXT)
 
-        # deletion (wfa.go:612-643)
-        v1d, fmd = read_source(
-            hist_m, lo_m_all, hi_m_all, st.ex_m, st.k0, s2, oe, ks2 + 1
-        )
-        v2d, fdd = read_source(
-            hist_d, lo_d_all, hi_d_all, st.ex_d, st.k0, s2, e, ks2 + 1
-        )
-        bad = fmd & ((v1d - ks2) > qlen[:, None])
+        # deletion (wfa.go:612-643): sources at k+1
+        v1d = _shift_kp1(moe)
+        fmd = _shift_kp1(f_moe.astype(jnp.int32)).astype(bool)
+        v2d = _shift_kp1(de)
+        fdd = _shift_kp1(f_de.astype(jnp.int32)).astype(bool)
+        bad = fmd & ((v1d - ks) > qlen[:, None])
         fmd, v1d = fmd & ~bad, jnp.where(bad, 0, v1d)
-        bad = fdd & ((v2d - ks2) > qlen[:, None])
+        bad = fdd & ((v2d - ks) > qlen[:, None])
         fdd, v2d = fdd & ~bad, jnp.where(bad, 0, v2d)
         Dsk = jnp.maximum(v1d, v2d)
         upd_d = fmd | fdd
         tag_d = jnp.where(fmd & (v1d >= v2d), T_DEL_OPEN, T_DEL_EXT)
 
         # mismatch / M (wfa.go:648-698)
-        v1x, fmx = read_source(
-            hist_m, lo_m_all, hi_m_all, st.ex_m, st.k0, s2, x, ks2
-        )
-        bad = fmx & ((v1x > tlen[:, None]) | ((v1x - ks2) > qlen[:, None]))
+        v1x, fmx = mx, f_mx
+        bad = fmx & ((v1x > tlen[:, None]) | ((v1x - ks) > qlen[:, None]))
         fmx, v1x = fmx & ~bad, jnp.where(bad, 0, v1x)
         Msk = jnp.maximum(
             jnp.maximum(
@@ -500,7 +517,7 @@ def _run_batch(qb, tb, qlen, tlen, *, cfg: EngineConfig, B: int, Lq: int, Lt: in
         )
         wr_m = upd_i | upd_d | fmx
 
-        band = (ks2 >= lo_n[:, None]) & (ks2 <= hi_n[:, None])
+        band = (ks >= lo_n[:, None]) & (ks <= hi_n[:, None])
         wr_i = upd_i & band & live
         wr_d = upd_d & band & live
         wr_m = wr_m & band & live
@@ -509,45 +526,39 @@ def _run_batch(qb, tb, qlen, tlen, *, cfg: EngineConfig, B: int, Lq: int, Lt: in
         row_i_new = jnp.where(wr_i, (Isk << TYPE_BITS) | tag_i, 0)
         row_d_new = jnp.where(wr_d, (Dsk << TYPE_BITS) | tag_d, 0)
 
-        # write M row, merging any pre-existing wavefront at s2 (semi-global
-        # seeds / global mismatch seed live at score x; next() merges into
-        # them exactly like the reference's Component.Set does).
+        # write M row, merging any pre-existing wavefront at s2 (the seed
+        # rows at scores 0 and x; same window origin, so a plain select).
+        ex_m_old = _col_at(st.ex_m, s2)
+        lo_m_old = _col_at(lo_m_all, s2)
+        hi_m_old = _col_at(hi_m_all, s2)
         row_m_old = _row_at(hist_m, s2)
-        j_old = ks2 - k0_old[:, None]
-        old_val = jnp.take_along_axis(row_m_old, jnp.clip(j_old, 0, K - 1), axis=1)
-        old_ok = ex_m_old[:, None] & (j_old >= 0) & (j_old < K)
-        row_m_new = jnp.where(
-            wr_m,
-            (Msk << TYPE_BITS) | tag_m,
-            jnp.where(old_ok, old_val, 0),
-        )
+        row_m_new = jnp.where(wr_m, (Msk << TYPE_BITS) | tag_m, row_m_old)
 
         any_i = jnp.any(wr_i, axis=1)
         any_d = jnp.any(wr_d, axis=1)
         any_m = jnp.any(wr_m, axis=1)
-        lo_i_n = _masked_min(ks2, wr_i)
-        hi_i_n = _masked_max(ks2, wr_i)
-        lo_d_n = _masked_min(ks2, wr_d)
-        hi_d_n = _masked_max(ks2, wr_d)
+        lo_i_n = _masked_min(ks, wr_i)
+        hi_i_n = _masked_max(ks, wr_i)
+        lo_d_n = _masked_min(ks, wr_d)
+        hi_d_n = _masked_max(ks, wr_d)
         lo_m_n = jnp.minimum(
-            _masked_min(ks2, wr_m), jnp.where(ex_m_old, lo_m_old, _BIG)
+            _masked_min(ks, wr_m), jnp.where(ex_m_old, lo_m_old, _BIG)
         )
         hi_m_n = jnp.maximum(
-            _masked_max(ks2, wr_m), jnp.where(ex_m_old, hi_m_old, -_BIG)
+            _masked_max(ks, wr_m), jnp.where(ex_m_old, hi_m_old, -_BIG)
         )
 
-        frozen = (done | overflow)[:, None]
+        frz = done | overflow
+        frzc = frz[:, None]
         hist_i = _set_row(
-            hist_i, s2, jnp.where(frozen, _row_at(hist_i, s2), row_i_new)
+            hist_i, s2, jnp.where(frzc, _row_at(hist_i, s2), row_i_new)
         )
         hist_d = _set_row(
-            hist_d, s2, jnp.where(frozen, _row_at(hist_d, s2), row_d_new)
+            hist_d, s2, jnp.where(frzc, _row_at(hist_d, s2), row_d_new)
         )
         hist_m = _set_row(
-            hist_m, s2, jnp.where(frozen, row_m_old, row_m_new)
+            hist_m, s2, jnp.where(frzc, row_m_old, row_m_new)
         )
-        frz = done | overflow
-        k0_new = _set_col(st.k0, s2, jnp.where(frz, k0_old, k0n))
         lo_i_all = _set_col(
             lo_i_all, s2,
             jnp.where(frz, _col_at(lo_i_all, s2),
@@ -591,7 +602,6 @@ def _run_batch(qb, tb, qlen, tlen, *, cfg: EngineConfig, B: int, Lq: int, Lt: in
         return _State(
             s=s2, done=done, overflow=overflow, final_s=final_s,
             hist_m=hist_m, hist_i=hist_i, hist_d=hist_d,
-            k0=k0_new,
             lo_m=lo_m_all, hi_m=hi_m_all,
             lo_i=lo_i_all, hi_i=hi_i_all,
             lo_d=lo_d_all, hi_d=hi_d_all,
@@ -606,62 +616,73 @@ def _run_batch(qb, tb, qlen, tlen, *, cfg: EngineConfig, B: int, Lq: int, Lt: in
     return final._replace(overflow=overflow)
 
 
-class _HistView:
-    """Component view over one pair's dense history — implements the
-    component protocol used by the shared backtrace."""
+_run_batch = functools.partial(
+    jax.jit, static_argnames=("cfg", "B", "Lq", "Ltb")
+)(_run_batch_impl)
 
-    __slots__ = ("hist", "k0", "lo", "hi", "ex", "s_max", "K")
 
-    def __init__(self, hist, k0, lo, hi, ex, s_max):
-        self.hist = hist  # [S, K]
-        self.k0 = k0  # [S]
-        self.lo = lo
-        self.hi = hi
-        self.ex = ex
-        self.s_max = s_max
-        self.K = hist.shape[1]
+def ops_capacity(s_cap: int, penalties: Penalties) -> int:
+    """Op-token buffer size: ≤2 tokens per backtrace step + flanks/tail.
+    Each backtrace step lowers the score by ≥ min(mismatch, gap_ext)."""
+    step = max(1, min(penalties.mismatch, penalties.gap_ext))
+    return 2 * (s_cap // step) + 16
 
-    def has_score(self, s: int) -> bool:
-        return 0 <= s <= self.s_max and bool(self.ex[s])
 
-    def k_range(self, s: int, diff: int) -> Tuple[int, int]:
-        if diff > s:
-            return 0, 0
-        sp = s - diff
-        if not self.has_score(sp):
-            return 0, 0
-        return int(self.lo[sp]), int(self.hi[sp])
+def _align_full_impl(
+    qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig, B: int, Lq: int, Ltb: int
+):
+    """Full on-device alignment: score loop + end finder + backtrace.
 
-    def _cell(self, s: int, k: int) -> int:
-        j = k - int(self.k0[s])
-        if j < 0 or j >= self.K:
-            return 0
-        return int(self.hist[s, j])
+    Only per-pair scalars and compact op-token buffers leave the device —
+    the packed wavefront history stays in HBM.
+    """
+    from .device_backtrace import device_backtrace, end_finder
 
-    def get(self, s: int, k: int):
-        if s < 0 or s > self.s_max or not self.ex[s]:
-            return 0, 0, False
-        if k < self.lo[s] or k > self.hi[s]:
-            return 0, 0, False
-        cell = self._cell(s, k)
-        return cell >> TYPE_BITS, cell & ((1 << TYPE_BITS) - 1), cell > 0
+    st = _run_batch_impl(
+        qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb
+    )
+    S = cfg.s_cap
+    K = cfg.k_win
+    qlen = qlen.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+    k0 = -toff.astype(jnp.int32)
+    ak = tlen - qlen
+    if cfg.global_alignment:
+        start_s, start_k = st.final_s, ak
+    else:
+        start_s, start_k = end_finder(
+            st.hist_m, k0, st.lo_m, st.hi_m, st.ex_m,
+            st.final_s, qlen, tlen, S, K,
+        )
+    active0 = st.done & ~st.overflow
+    buf, cnt, qb0, qe, tb0, te = device_backtrace(
+        st.hist_m, st.hist_i, st.hist_d,
+        k0, st.lo_m, st.hi_m, st.lo_i, st.hi_i, st.lo_d, st.hi_d,
+        st.ex_m, st.ex_i, st.ex_d,
+        start_s, start_k, qlen, tlen, active0,
+        penalties=cfg.penalties,
+        global_alignment=cfg.global_alignment,
+        S=S, K=K, ops_cap=ops_capacity(S, cfg.penalties),
+    )
+    return {
+        "score": start_s,
+        "overflow": st.overflow,
+        "buf": buf,
+        "cnt": cnt,
+        "q_begin": qb0,
+        "q_end": qe,
+        "t_begin": tb0,
+        "t_end": te,
+    }
 
-    def get_raw(self, s: int, k: int):
-        if s < 0 or s > self.s_max or not self.ex[s]:
-            return 0, False
-        if k < self.lo[s] or k > self.hi[s]:
-            return 0, False
-        cell = self._cell(s, k)
-        return cell, cell > 0
 
-    def get_after_diff(self, s: int, diff: int, k: int):
-        if diff > s:
-            return 0, 0, False
-        return self.get(s - diff, k)
+_align_full = functools.partial(
+    jax.jit, static_argnames=("cfg", "B", "Lq", "Ltb")
+)(_align_full_impl)
 
 
 class BatchAligner:
-    """Batched aligner: device score loop + host backtrace.
+    """Batched aligner: device score loop + device backtrace.
 
     The TPU-native replacement for the reference's one-pair-at-a-time CLI
     loop (wfa-go.go:166-178): B pairs advance in lockstep on-device; pairs
@@ -688,6 +709,27 @@ class BatchAligner:
 
     # -- public API ---------------------------------------------------------
 
+    def pack_batch(self, pairs: Sequence[Tuple[bytes, bytes]]):
+        """Pad a batch and pre-place each target at column -k0."""
+        B = len(pairs)
+        K = self.cfg.k_win
+        ga = self.cfg.global_alignment
+        Lq = max(len(q) for q, _ in pairs)
+        toff = np.zeros((B,), np.int32)
+        for i, (q, t) in enumerate(pairs):
+            toff[i] = -window_origin(len(q), len(t), K, ga)
+        Ltb = int(max(toff[i] + len(t) for i, (_, t) in enumerate(pairs)))
+        qb = np.zeros((B, Lq), np.uint8)
+        tbuf = np.zeros((B, Ltb), np.uint8)
+        qlen = np.zeros((B,), np.int32)
+        tlen = np.zeros((B,), np.int32)
+        for i, (q, t) in enumerate(pairs):
+            qb[i, : len(q)] = np.frombuffer(q, np.uint8)
+            tbuf[i, toff[i] : toff[i] + len(t)] = np.frombuffer(t, np.uint8)
+            qlen[i] = len(q)
+            tlen[i] = len(t)
+        return qb, tbuf, qlen, tlen, toff, Lq, Ltb
+
     def align_batch(
         self,
         pairs: Sequence[Tuple[bytes, bytes]],
@@ -711,61 +753,43 @@ class BatchAligner:
                 )
 
         B = len(pairs)
-        Lq = max(len(q) for q, _ in pairs)
-        Lt = max(len(t) for _, t in pairs)
-        if not self.cfg.global_alignment:
-            need = Lq + Lt - 1
-            if need > self.cfg.k_win:
-                # semi-global seeds span the full diagonal range; fall back
-                # when the window cannot hold them.
-                if fallback:
-                    return [self._oracle.align(q, t) for q, t in pairs]
-                return [None] * B
-
-        qb = np.zeros((B, Lq), np.uint8)
-        tb = np.zeros((B, Lt), np.uint8)
-        qlen = np.zeros((B,), np.int32)
-        tlen = np.zeros((B,), np.int32)
-        for i, (q, t) in enumerate(pairs):
-            qb[i, : len(q)] = np.frombuffer(q, np.uint8)
-            tb[i, : len(t)] = np.frombuffer(t, np.uint8)
-            qlen[i] = len(q)
-            tlen[i] = len(t)
-
-        st = _run_batch(
-            jnp.asarray(qb), jnp.asarray(tb),
-            jnp.asarray(qlen), jnp.asarray(tlen),
-            cfg=self.cfg, B=B, Lq=Lq, Lt=Lt,
+        qb, tbuf, qlen, tlen, toff, Lq, Ltb = self.pack_batch(pairs)
+        out = _align_full(
+            jnp.asarray(qb), jnp.asarray(tbuf),
+            jnp.asarray(qlen), jnp.asarray(tlen), jnp.asarray(toff),
+            cfg=self.cfg, B=B, Lq=Lq, Ltb=Ltb,
         )
-        st = jax.device_get(st)
-        return self._finish(pairs, st, fallback)
+        out = jax.device_get(out)
+        return self._finish(pairs, out, fallback)
 
     # -- host-side completion -------------------------------------------------
 
-    def _finish(self, pairs, st, fallback: bool) -> List[Optional[AlignmentResult]]:
+    def _finish(self, pairs, out, fallback: bool) -> List[Optional[AlignmentResult]]:
+        """Decode device op tokens into AlignmentResults (reverse + merge +
+        stats happen in AlignmentResult.process, as in the reference)."""
+        from .device_backtrace import OP_CHARS
+
         results: List[Optional[AlignmentResult]] = []
-        p = self.cfg.penalties
+        buf = out["buf"]
+        cnt = out["cnt"]
         for i, (q, t) in enumerate(pairs):
-            if st.overflow[i]:
+            if out["overflow"][i]:
                 results.append(self._oracle.align(q, t) if fallback else None)
                 continue
-            s_fin = int(st.final_s[i])
-            M = _HistView(
-                st.hist_m[i], st.k0[i], st.lo_m[i], st.hi_m[i], st.ex_m[i], s_fin
-            )
-            I = _HistView(
-                st.hist_i[i], st.k0[i], st.lo_i[i], st.hi_i[i], st.ex_i[i], s_fin
-            )
-            D = _HistView(
-                st.hist_d[i], st.k0[i], st.lo_d[i], st.hi_d[i], st.ex_d[i], s_fin
-            )
-            m, n = len(t), len(q)
-            min_s, last_k = s_fin, m - n
-            if not self.cfg.global_alignment:
-                min_s, last_k = backtrace_start_position(M, n, m, s_fin)
-            results.append(
-                back_trace(
-                    M, I, D, p, self.cfg.global_alignment, q, t, min_s, last_k
-                )
-            )
+            res = AlignmentResult(self.cfg.global_alignment)
+            res.score = int(out["score"][i])
+            n_ops = int(cnt[i])
+            toks = buf[i, :n_ops]
+            codes = toks >> 28
+            runs = toks & ((1 << 28) - 1)
+            res.ops = [
+                (OP_CHARS[c] if c < len(OP_CHARS) else ".", int(r))
+                for c, r in zip(codes, runs)
+            ]
+            res.q_begin = int(out["q_begin"][i])
+            res.q_end = int(out["q_end"][i])
+            res.t_begin = int(out["t_begin"][i])
+            res.t_end = int(out["t_end"][i])
+            res.process()
+            results.append(res)
         return results

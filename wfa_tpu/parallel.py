@@ -1,0 +1,140 @@
+"""Data-parallel execution over a device mesh.
+
+Pairwise alignment is embarrassingly parallel, so the one applicable
+parallelism strategy is data parallelism: the pair batch is sharded over
+a 1-D mesh (``dp`` axis) with ``shard_map``; each device runs the full
+lockstep score loop on its shard and the only collectives are output
+gathers riding ICI (the reference has no distributed machinery at all —
+concurrency is pushed to the caller, wfa.go:74-77).
+
+Multi-host: `jax.distributed.initialize()` before building the mesh; the
+same code runs with DCN-backed global meshes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from .engine import EngineConfig, _State, _align_full_impl, _run_batch_impl
+
+# [S, B, K] histories / [S, B] bands shard along the batch axis (axis 1).
+_STATE_SPECS = _State(
+    s=P(),
+    done=P("dp"), overflow=P("dp"), final_s=P("dp"),
+    hist_m=P(None, "dp", None), hist_i=P(None, "dp", None),
+    hist_d=P(None, "dp", None),
+    lo_m=P(None, "dp"), hi_m=P(None, "dp"),
+    lo_i=P(None, "dp"), hi_i=P(None, "dp"),
+    lo_d=P(None, "dp"), hi_d=P(None, "dp"),
+    ex_m=P(None, "dp"), ex_i=P(None, "dp"), ex_d=P(None, "dp"),
+)
+
+_IN_SPECS = (P("dp"), P("dp"), P("dp"), P("dp"), P("dp"))
+
+
+def make_dp_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D data-parallel mesh over the first n devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), axis_names=("dp",))
+
+
+def _local_b(B: int, mesh: Mesh) -> int:
+    n_dev = mesh.devices.size
+    assert B % n_dev == 0, f"batch {B} not divisible by mesh size {n_dev}"
+    return B // n_dev
+
+
+def dp_align_state(
+    qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig, mesh: Mesh,
+    Lq: int, Ltb: int,
+):
+    """Run the score loop data-parallel over the mesh.
+
+    Returns the full per-pair final state (globally sharded along the
+    batch axis) and a psum-reduced pair-done count (an ICI collective).
+    """
+    lb = _local_b(qb.shape[0], mesh)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=_IN_SPECS,
+        out_specs=(_STATE_SPECS, P()),
+        check_vma=False,
+    )
+    def _sharded(qb_s, tb_s, ql_s, tl_s, to_s):
+        st = _run_batch_impl(
+            qb_s, tb_s, ql_s, tl_s, to_s, cfg=cfg, B=lb, Lq=Lq, Ltb=Ltb
+        )
+        n_done = lax.psum(jnp.sum(st.done.astype(jnp.int32)), "dp")
+        return st, n_done
+
+    return jax.jit(_sharded)(qb, tbuf, qlen, tlen, toff)
+
+
+def dp_align_full(
+    qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig, mesh: Mesh,
+    Lq: int, Ltb: int,
+):
+    """Full data-parallel alignment (score loop + device backtrace).
+
+    Returns the compact per-pair outputs dict, batch-sharded — only op
+    tokens and scalars cross the ICI, never the wavefront history.
+    """
+    lb = _local_b(qb.shape[0], mesh)
+    out_specs = {
+        "score": P("dp"), "overflow": P("dp"), "buf": P("dp"),
+        "cnt": P("dp"), "q_begin": P("dp"), "q_end": P("dp"),
+        "t_begin": P("dp"), "t_end": P("dp"),
+    }
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=_IN_SPECS,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def _sharded(qb_s, tb_s, ql_s, tl_s, to_s):
+        return _align_full_impl(
+            qb_s, tb_s, ql_s, tl_s, to_s, cfg=cfg, B=lb, Lq=Lq, Ltb=Ltb
+        )
+
+    return jax.jit(_sharded)(qb, tbuf, qlen, tlen, toff)
+
+
+def dp_align_scores(
+    qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig, mesh: Mesh,
+    Lq: int, Ltb: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scores-only data-parallel alignment: returns (final_s, done) [B]."""
+    lb = _local_b(qb.shape[0], mesh)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=_IN_SPECS,
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )
+    def _sharded(qb_s, tb_s, ql_s, tl_s, to_s):
+        st = _run_batch_impl(
+            qb_s, tb_s, ql_s, tl_s, to_s, cfg=cfg, B=lb, Lq=Lq, Ltb=Ltb
+        )
+        return st.final_s, st.done
+
+    return jax.jit(_sharded)(qb, tbuf, qlen, tlen, toff)
