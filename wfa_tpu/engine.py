@@ -99,10 +99,77 @@ def window_origin(qlen: int, tlen: int, k_win: int, global_alignment: bool) -> i
     return ak // 2 - k_win // 2
 
 
-def _pack_words(b: jnp.ndarray) -> jnp.ndarray:
-    """[B, L] uint8 -> [B, L] uint32 big-endian 4-byte words at each start."""
-    p = jnp.pad(b, ((0, 0), (0, 3))).astype(jnp.uint32)
-    return (p[:, :-3] << 24) | (p[:, 1:-2] << 16) | (p[:, 2:-1] << 8) | p[:, 3:]
+def _stop_tables(qb, tbuf, qlen, tlen, toff, K: int, Lq: int, Ltb: int):
+    """Precompute the extension stop tables (the TPU-native replacement of
+    the reference's per-byte LCP walk, wfa.go:411-454).
+
+    With the fixed per-pair window origin (k0 = -toff), window diagonal j
+    at target position h lives at target-buffer column ``c = h + toff``
+    and compares query position ``v = c - j``.  Define the *stop bit*
+    stop[b, j, c] = 1 unless (v, h) are in bounds and q[v] == t[h]; then
+    the reference's match-run length from offset h is exactly
+    ``(first c' >= c with stop) - c``.
+
+    Returns:
+      words [B, K, Lw] int32 — stop bits packed 32/word, bit (31-(c&31))
+        of word c>>5 (big-endian within the word, like the reference's
+        big-endian uint64 packing, wfa.go:415);
+      fsa   [B, K, Lw] int32 — absolute column of the first stop bit in
+        any word *after* word w (suffix scan), always finite because
+        every column >= toff+tlen is a stop.
+
+    One masked pass over these per score step replaces the reference's
+    data-dependent LCP loop — no gathers, no inner while_loop.
+    """
+    B = qb.shape[0]
+    Lwc = (Ltb + 32) // 32  # ≥1 stop column beyond every toff+tlen
+    Lc = Lwc * 32
+
+    # q_sh[b, j, c] = q[b, c - j] — all K shifted copies of q, built by
+    # log2(K) concat-and-shift doublings (gathers are pathologically slow
+    # on TPU and a K-way unrolled slice/stack blows up compile time).
+    # Invariant: R[b, r, cp] = qpad[b, cp - r] with qpad[b, K + v] = q[b, v].
+    Lp = K + Lc
+    qpad = jnp.zeros((B, 1, Lp), jnp.uint8)
+    qpad = lax.dynamic_update_slice(qpad, qb[:, None, :], (0, 0, K))
+    R = qpad
+    d = 1
+    while d < K:
+        shifted = jnp.pad(R, ((0, 0), (0, 0), (d, 0)))[:, :, :Lp]
+        R = jnp.concatenate([R, shifted], axis=1)
+        d *= 2
+    q_sh = lax.slice(R, (0, 0, K), (B, K, K + Lc))  # [B, K, Lc]
+
+    tpad = jnp.zeros((B, Lc), jnp.uint8)
+    tpad = lax.dynamic_update_slice(tpad, tbuf, (0, 0))
+
+    cs = jnp.arange(Lc, dtype=jnp.int32)[None, None, :]
+    js = jnp.arange(K, dtype=jnp.int32)[None, :, None]
+    vs = cs - js
+    valid = (
+        (vs >= 0)
+        & (vs < qlen[:, None, None])
+        & (cs >= toff[:, None, None])
+        & (cs < (toff + tlen)[:, None, None])
+    )
+    stop = ~(valid & (q_sh == tpad[:, None, :]))  # [B, K, Lc] bool
+
+    bits = stop.reshape(B, K, Lwc, 32).astype(jnp.int32)
+    weights = (jnp.int32(1) << (31 - jnp.arange(32, dtype=jnp.int32)))
+    words = jnp.sum(bits * weights[None, None, None, :], axis=-1)
+
+    # first stop position within each word (32*w + clz), BIG if none
+    wclz = lax.clz(words)
+    wpos = jnp.where(
+        words != 0,
+        jnp.arange(Lwc, dtype=jnp.int32)[None, None, :] * 32 + wclz,
+        _BIG,
+    )
+    # fsa[w] = min over w' > w of wpos[w']  (reverse suffix min, exclusive)
+    suff = lax.cummin(wpos, axis=2, reverse=True)
+    fsa = jnp.concatenate([suff[..., 1:], jnp.full_like(suff[..., :1], _BIG)],
+                          axis=-1)
+    return words, fsa
 
 
 def _row_at(arr: jnp.ndarray, s) -> jnp.ndarray:
@@ -163,6 +230,60 @@ def _delete_range_asc(dl, dh, lo, hi):
     return new_lo, new_hi, z_lo, z_hi
 
 
+def _seed_rows(
+    qb, tbuf, qlen, tlen, toff, *, mismatch: int, global_alignment: bool,
+    K: int, Lq: int, Ltb: int,
+):
+    """Dense seed wavefront rows for scores 0 and `mismatch` (wfa.go:143-184).
+
+    Returns ((row0, lo0, hi0, ex0), (rowx, lox, hix, exx)) with rows of
+    shape [B, K] in the fixed-origin window layout.  When mismatch == 0
+    everything lands in row0 and rowx is empty.  Shared by the JAX and
+    Pallas score-loop paths so seeding semantics can never diverge.
+    """
+    k0 = -toff.astype(jnp.int32)
+    qi = qb.astype(jnp.int32)
+    ti = tbuf.astype(jnp.int32)
+    iota = jnp.arange(K, dtype=jnp.int32)[None, :]
+    ks = k0[:, None] + iota
+    t_at_col = lambda col: jnp.take_along_axis(
+        ti, jnp.clip(col, 0, Ltb - 1), axis=1
+    )
+    if global_alignment:
+        eq00 = qi[:, 0] == t_at_col(toff[:, None].astype(jnp.int32))[:, 0]
+        tag0 = jnp.where(eq00, T_MATCH, T_MISMATCH).astype(jnp.int32)
+        cell0 = (jnp.int32(1) << TYPE_BITS) | tag0
+        at_j0 = ks == 0  # [B, K] one-hot of diagonal 0
+        seed_eq = jnp.where(at_j0 & eq00[:, None], cell0[:, None], 0)
+        seed_ne = jnp.where(at_j0 & (~eq00)[:, None], cell0[:, None], 0)
+    else:
+        # semi-global first-row/column seeds over [-(n-1), m-1]
+        # (wfa.go:163-183).  k0 == -(n-1), so column j holds diagonal
+        # k = j - (n-1); requires K >= n + m - 1 (overflow-checked).
+        in_range = (ks >= k0[:, None]) & (ks <= (tlen - 1)[:, None])
+        # k >= 0: first row, offset k+1, compare q[0] vs t[k]
+        # k < 0: first column, offset 1, compare q[-k] vs t[0]
+        t_at_k = t_at_col(ks + toff[:, None].astype(jnp.int32))
+        q_at_mk = jnp.take_along_axis(qi, jnp.clip(-ks, 0, Lq - 1), axis=1)
+        t0 = t_at_col(toff[:, None].astype(jnp.int32))
+        eq = jnp.where(ks >= 0, qi[:, :1] == t_at_k, q_at_mk == t0)
+        off = jnp.where(ks >= 0, ks + 1, 1)
+        seed_eq = jnp.where(in_range & eq, (off << TYPE_BITS) | T_MATCH, 0)
+        seed_ne = jnp.where(in_range & ~eq, (off << TYPE_BITS) | T_MISMATCH, 0)
+
+    if mismatch == 0:  # both seed sets land on score 0
+        rows = (seed_eq + seed_ne, jnp.zeros_like(seed_eq))
+    else:
+        rows = (seed_eq, seed_ne)
+    out = []
+    for row in rows:
+        any_set = jnp.any(row > 0, axis=1)
+        lo_s = jnp.where(any_set, _masked_min(ks, row > 0), _BIG)
+        hi_s = jnp.where(any_set, _masked_max(ks, row > 0), -_BIG)
+        out.append((row, lo_s, hi_s, any_set))
+    return out[0], out[1]
+
+
 def _run_batch_impl(
     qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig, B: int, Lq: int, Ltb: int
 ):
@@ -189,8 +310,9 @@ def _run_batch_impl(
     tlen = tlen.astype(jnp.int32)
     toff = toff.astype(jnp.int32)
     k0 = -toff  # [B] fixed window origin
-    q4 = _pack_words(qb)
-    t4 = _pack_words(tbuf)
+    stop_words, stop_fsa = _stop_tables(qb, tbuf, qlen, tlen, toff, K, Lq, Ltb)
+    Lw = stop_words.shape[-1]
+    iw = jnp.arange(Lw, dtype=jnp.int32)[None, None, :]
     qi = qb.astype(jnp.int32)
 
     iota = jnp.arange(K, dtype=jnp.int32)[None, :]  # [1, K]
@@ -219,49 +341,22 @@ def _run_batch_impl(
     if not cfg.global_alignment:
         overflow0 = overflow0 | ((tlen - 1) >= k0 + K)
 
-    ti = tbuf.astype(jnp.int32)
-    t_at_col = lambda col: jnp.take_along_axis(
-        ti, jnp.clip(col, 0, Ltb - 1), axis=1
+    (row0, lo0, hi0, ex0), (rowx, lox, hix, exx) = _seed_rows(
+        qb, tbuf, qlen, tlen, toff,
+        mismatch=int(p.mismatch), global_alignment=cfg.global_alignment,
+        K=K, Lq=Lq, Ltb=Ltb,
     )
-    eq00 = qi[:, 0] == t_at_col(toff[:, None])[:, 0]  # q[0] vs t[0]
-    bidx = jnp.arange(B)
-    if cfg.global_alignment:
-        s0 = jnp.where(eq00, 0, x).astype(jnp.int32)  # [B]
-        tag0 = jnp.where(eq00, T_MATCH, T_MISMATCH).astype(jnp.int32)
-        cell0 = (jnp.int32(1) << TYPE_BITS) | tag0
-        j0 = -k0  # column of diagonal 0
-        hist_m = hist_m.at[s0, bidx, j0].set(cell0, mode="drop")
-        lo_m = lo_m.at[s0, bidx].set(0, mode="drop")
-        hi_m = hi_m.at[s0, bidx].set(0, mode="drop")
-        ex_m = ex_m.at[s0, bidx].set(True, mode="drop")
-    else:
-        # semi-global first-row/column seeds over [-(n-1), m-1]
-        # (wfa.go:163-183).  k0 == -(n-1), so column j holds diagonal
-        # k = j - (n-1); requires K >= n + m - 1 (checked via overflow0).
-        in_range = (ks >= k0[:, None]) & (ks <= (tlen - 1)[:, None])
-        # k >= 0: first row, offset k+1, compare q[0] vs t[k]
-        # k < 0: first column, offset 1, compare q[-k] vs t[0]
-        t_at_k = t_at_col(ks + toff[:, None])
-        q_at_mk = jnp.take_along_axis(qi, jnp.clip(-ks, 0, Lq - 1), axis=1)
-        eq = jnp.where(ks >= 0, qi[:, :1] == t_at_k, q_at_mk == ti[:, :1] * 0
-                       + jnp.take_along_axis(ti, toff[:, None], axis=1))
-        off = jnp.where(ks >= 0, ks + 1, 1)
-        cell_eq = (off << TYPE_BITS) | T_MATCH
-        cell_ne = (off << TYPE_BITS) | T_MISMATCH
-        row_eq = jnp.where(in_range & eq, cell_eq, 0)
-        row_ne = jnp.where(in_range & ~eq, cell_ne, 0)
-        if p.mismatch == 0:  # both seed sets land on score 0
-            rows = ((0, row_eq + row_ne),)
-        else:
-            rows = ((0, row_eq), (int(p.mismatch), row_ne))
-        for s_seed, row in rows:
-            any_set = jnp.any(row > 0, axis=1)
-            lo_s = _masked_min(ks, row > 0)
-            hi_s = _masked_max(ks, row > 0)
-            hist_m = hist_m.at[s_seed].set(row)
-            lo_m = lo_m.at[s_seed].set(jnp.where(any_set, lo_s, _BIG))
-            hi_m = hi_m.at[s_seed].set(jnp.where(any_set, hi_s, -_BIG))
-            ex_m = ex_m.at[s_seed].set(any_set)
+    hist_m = hist_m.at[0].set(row0)
+    lo_m = lo_m.at[0].set(lo0)
+    hi_m = hi_m.at[0].set(hi0)
+    ex_m = ex_m.at[0].set(ex0)
+    if 0 < p.mismatch < S:
+        hist_m = hist_m.at[int(p.mismatch)].set(rowx)
+        lo_m = lo_m.at[int(p.mismatch)].set(lox)
+        hi_m = hi_m.at[int(p.mismatch)].set(hix)
+        ex_m = ex_m.at[int(p.mismatch)].set(exx)
+    elif p.mismatch >= S:  # mismatch seed can never fit the score cap
+        overflow0 = overflow0 | exx
 
     state = _State(
         s=jnp.int32(0),
@@ -322,49 +417,21 @@ def _run_batch_impl(
             & (h0 < tlen[:, None])
         )
 
-        def lcp_cond(c):
-            return jnp.any(c[3])
-
-        def lcp_body(c):
-            v, h, n_acc, act = c
-            qa = jnp.take_along_axis(q4, jnp.clip(v, 0, Lq - 1), axis=1)
-            # target position h lives at column h + toff
-            ta = jnp.take_along_axis(
-                t4, jnp.clip(h + toff[:, None], 0, Ltb - 1), axis=1
-            )
-            xw = qa ^ ta
-            # leading equal bytes of the 4-byte words
-            nb = jnp.where(
-                xw == 0,
-                4,
-                jnp.where(
-                    xw >= (1 << 24),
-                    0,
-                    jnp.where(xw >= (1 << 16), 1, jnp.where(xw >= (1 << 8), 2, 3)),
-                ),
-            ).astype(jnp.int32)
-            rem = jnp.minimum(qlen[:, None] - v, tlen[:, None] - h)
-            adv = jnp.where(act, jnp.minimum(nb, rem), 0)
-            v2 = v + adv
-            h2 = h + adv
-            act2 = (
-                act
-                & (adv == 4)
-                & (v2 < qlen[:, None])
-                & (h2 < tlen[:, None])
-            )
-            return v2, h2, n_acc + adv, act2
-
-        _, _, n_ext, _ = lax.while_loop(
-            lcp_cond, lcp_body, (v0, h0, jnp.zeros_like(v0), act0)
-        )
+        # LCP via the precomputed stop tables: one masked pass over the
+        # word axis — no gathers, no data-dependent loop (wfa.go:411-454).
+        c0 = h0 + toff[:, None]  # [B, K] column of the next compare
+        w0 = jnp.clip(c0 >> 5, 0, Lw - 1)[..., None]
+        sel0 = iw == w0
+        word0 = jnp.sum(jnp.where(sel0, stop_words, 0), axis=-1)
+        fsa0 = jnp.min(jnp.where(sel0, stop_fsa, _BIG), axis=-1)
+        vis = word0 << (c0 & 31)  # bit of c0 now at bit 31
+        n_ext = jnp.where(vis != 0, lax.clz(vis), fsa0 - c0)
+        n_ext = jnp.where(act0, n_ext, 0)
         row_m = jnp.where(act0 & (n_ext > 0), cell + (n_ext << TYPE_BITS), cell)
         hist_m = _set_row(st.hist_m, s, row_m)
 
         # ---------------- termination (wfa.go:235-239) ----------------
-        cell_ak = jnp.take_along_axis(
-            row_m, jnp.clip(j_ak, 0, K - 1), axis=1
-        )[:, 0]
+        cell_ak = jnp.sum(jnp.where(iota == j_ak, row_m, 0), axis=1)
         ak_flat = Ak
         found_ak = (
             ex_ms
@@ -752,6 +819,15 @@ class BatchAligner:
                     f"wfa: sequences longer than {MAX_SEQ_LEN} are not supported"
                 )
 
+        return self.finish_batch(self.submit_batch(pairs), fallback)
+
+    def submit_batch(self, pairs: Sequence[Tuple[bytes, bytes]]):
+        """Enqueue a batch on the device without blocking.
+
+        Returns an opaque handle for :meth:`finish_batch`.  Submitting
+        many batches before finishing any hides the host↔device dispatch
+        latency (the results stay on device until fetched).
+        """
         B = len(pairs)
         qb, tbuf, qlen, tlen, toff, Lq, Ltb = self.pack_batch(pairs)
         out = _align_full(
@@ -759,6 +835,11 @@ class BatchAligner:
             jnp.asarray(qlen), jnp.asarray(tlen), jnp.asarray(toff),
             cfg=self.cfg, B=B, Lq=Lq, Ltb=Ltb,
         )
+        return pairs, out
+
+    def finish_batch(self, handle, fallback: bool = True):
+        """Fetch a submitted batch's results and decode them."""
+        pairs, out = handle
         out = jax.device_get(out)
         return self._finish(pairs, out, fallback)
 

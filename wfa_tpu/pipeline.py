@@ -102,25 +102,34 @@ class AlignmentPipeline:
             return [self._oracle.align(q, t) for q, t in pairs]
 
         results: List[Optional[AlignmentResult]] = [None] * len(pairs)
-        for (lq_c, lt_c), items in bucket_pairs(pairs).items():
-            pending = items
-            for tier in (0, 1, 2):
-                if not pending:
-                    break
+        buckets = bucket_pairs(pairs)
+        # one work-list per bucket, retried through up to 3 cap tiers;
+        # all batches of a tier are submitted before any is fetched, so
+        # the device pipeline stays full (dispatch latency is hidden).
+        pending = {key: items for key, items in buckets.items()}
+        for tier in (0, 1, 2):
+            inflight = []
+            for (lq_c, lt_c), items in pending.items():
+                if not items:
+                    continue
                 k_win, s_cap = self._tier_caps(lq_c, lt_c, tier)
                 eng = self._engine(k_win, s_cap)
-                nxt: List[Tuple[int, Tuple[bytes, bytes]]] = []
                 bs = self.cfg.batch_size
-                for start in range(0, len(pending), bs):
-                    chunk = pending[start : start + bs]
-                    out = eng.align_batch([p for _, p in chunk], fallback=False)
-                    for (idx, pair), res in zip(chunk, out):
-                        if res is None:
-                            nxt.append((idx, pair))
-                        else:
-                            results[idx] = res
-                pending = nxt
-            for idx, (q, t) in pending:  # final exact fallback
+                for start in range(0, len(items), bs):
+                    chunk = items[start : start + bs]
+                    handle = eng.submit_batch([p for _, p in chunk])
+                    inflight.append(((lq_c, lt_c), eng, chunk, handle))
+            nxt = {key: [] for key in pending}
+            for key, eng, chunk, handle in inflight:
+                out = eng.finish_batch(handle, fallback=False)
+                for (idx, pair), res in zip(chunk, out):
+                    if res is None:
+                        nxt[key].append((idx, pair))
+                    else:
+                        results[idx] = res
+            pending = nxt
+        for items in pending.values():  # final exact fallback
+            for idx, (q, t) in items:
                 results[idx] = self._oracle.align(q, t)
         return results  # type: ignore[return-value]
 
