@@ -23,7 +23,7 @@ class AlignmentResult:
     """
 
     __slots__ = (
-        "ops",
+        "_ops",
         "score",
         "t_begin",
         "t_end",
@@ -34,11 +34,12 @@ class AlignmentResult:
         "gaps",
         "gap_regions",
         "_processed",
+        "_raw_tokens",
         "global_alignment",
     )
 
     def __init__(self, global_alignment: bool = True) -> None:
-        self.ops: List[Tuple[str, int]] = []
+        self._ops: List[Tuple[str, int]] = []
         self.score = 0
         self.t_begin = 0
         self.t_end = 0
@@ -49,7 +50,27 @@ class AlignmentResult:
         self.gaps = 0
         self.gap_regions = 0
         self._processed = False
+        # packed device op tokens (emission order), decoded lazily; stats
+        # were already computed on device in that case
+        self._raw_tokens = None
         self.global_alignment = global_alignment
+
+    @property
+    def ops(self) -> List[Tuple[str, int]]:
+        if self._raw_tokens is not None:
+            self.process()
+        return self._ops
+
+    @ops.setter
+    def ops(self, value) -> None:
+        self._ops = value
+
+    def set_device_tokens(self, tokens) -> None:
+        """Attach a packed device token row (code << 28 | run, emission
+        order, zeros = empty slots); op decoding happens on first access —
+        stats come from the device (device_backtrace.device_stats)."""
+        self._raw_tokens = tokens
+        self._processed = False
 
     # -- building (used by backtrace) ------------------------------------
 
@@ -63,10 +84,32 @@ class AlignmentResult:
         """Reverse, merge and compute stats (wfa_cigar.go:136-214)."""
         if self._processed:
             return
-        self.ops.reverse()
+        if self._raw_tokens is not None:
+            # decode the device token row: nonzero tokens, reversed into
+            # final order, merged below; stats already set by the device
+            from .device_backtrace import OP_CHARS
+
+            toks = self._raw_tokens
+            toks = toks[toks != 0][::-1]
+            self._ops = [
+                (OP_CHARS[t >> 28] if (t >> 28) < len(OP_CHARS) else ".",
+                 int(t & ((1 << 28) - 1)))
+                for t in toks
+            ]
+            self._raw_tokens = None
+            merged: List[Tuple[str, int]] = []
+            for op, n in self._ops:
+                if merged and merged[-1][0] == op:
+                    merged[-1] = (op, merged[-1][1] + n)
+                else:
+                    merged.append((op, n))
+            self._ops = merged
+            self._processed = True
+            return
+        self._ops.reverse()
 
         merged: List[Tuple[str, int]] = []
-        for op, n in self.ops:
+        for op, n in self._ops:
             if merged and merged[-1][0] == op:
                 merged[-1] = (op, merged[-1][1] + n)
             else:

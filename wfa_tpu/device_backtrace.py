@@ -4,20 +4,32 @@ The reference's backtrace (wfa.go:703-983) is a sequential pointer chase
 through the wavefront history.  Running it host-side would require
 shipping the whole packed history off-device (hundreds of MB per batch);
 instead the chase runs *on device*: all B pairs step in lockstep through
-a ``lax.while_loop``, each iteration doing a handful of scalar-per-pair
-gathers from the HBM-resident history, and emitting (op, run-length)
-tokens into a small per-pair buffer.  Only those token buffers (~KB/pair)
-ever leave the device.
+a ``lax.while_loop``, each iteration doing ONE 6-cell gather per pair
+from the HBM-resident combined history, and emitting (op, run-length)
+tokens into dense per-iteration buffer slots (no scatters).  Only those
+token buffers (~KB/pair) ever leave the device.
 
-Layout: histories are ``[S, B, K]`` with a fixed per-pair window origin
-``k0[b]`` (column j holds diagonal ``k0 + j`` at every score).
+Layout: the combined history is ``int32[S, B, 3, K]`` (components
+M=0, I=1, D=2) with a fixed per-pair window origin ``k0[b]`` (column j
+holds diagonal ``k0 + j`` at every score).  Cell = ``offset << 3 | tag``,
+0 = absent; the engines maintain the invariant that cells outside a
+wavefront's live band are zero, so presence == cell > 0 and per-score
+band arrays are not needed here.
+
+The gather fusion works because next()'s source positions depend only on
+(s, k) — not on the current tag — so the "read tag of the new cell"
+(wfa.go:915-920) is deferred into the NEXT iteration's gather: each
+iteration reads the 5 recompute sources of (s, k) plus the (s, k) cell
+itself in the component selected by the previous step.
 
 Outputs are bit-identical to the host backtrace: the loop is an exact
 port including break order, ``previousFromM`` handling and the
-pre-extension offset recomputation without bound checks (wfa.go:757-827).
+pre-extension offset recomputation from raw neighbor cells
+(wfa.go:757-827).
 
 Op-token encoding: ``code << 28 | run_length`` with codes
-0=M 1=X 2=I 3=D 4=H (host decodes to the reference's op characters).
+0=M 1=X 2=I 3=D 4=H; a zero token is an empty slot (host decode skips
+zeros, so run lengths are never zero).
 """
 
 from __future__ import annotations
@@ -45,60 +57,36 @@ OP_CHARS = "MXIDH"
 _TAG2CODE = np.array([7, CODE_I, CODE_I, CODE_D, CODE_D, CODE_X, CODE_M, 7],
                      dtype=np.int32)
 
+COMP_M, COMP_I, COMP_D = 0, 1, 2
+
 
 def _pack(code, n):
     return (code << 28) | n
 
 
-def _reader(hist, k0, lo, hi, ex, S, B, K):
-    """Build a component reader: (s[B], k[B]) -> (cell[B], found[B]).
-
-    Implements Get/GetRaw semantics over the dense [S, B, K] history:
-    score known, k within the row's live band, window hit, cell non-zero
-    (wfa_wavefront.go:153-168)."""
-    flat = hist.reshape(S * B * K)
-    lo_f = lo.reshape(S * B)
-    hi_f = hi.reshape(S * B)
-    ex_f = ex.reshape(S * B)
-    bidx = jnp.arange(B, dtype=jnp.int32)
-
-    def read(s, k):
-        ok_s = (s >= 0) & (s < S)
-        sc = jnp.clip(s, 0, S - 1)
-        sb = sc * B + bidx
-        exs = jnp.take(ex_f, sb) & ok_s
-        los = jnp.take(lo_f, sb)
-        his = jnp.take(hi_f, sb)
-        j = k - k0
-        cell = jnp.take(flat, sb * K + jnp.clip(j, 0, K - 1))
-        found = exs & (j >= 0) & (j < K) & (k >= los) & (k <= his) & (cell > 0)
-        return jnp.where(found, cell, 0), found
-
-    return read
+def iter_capacity(s_cap: int, penalties) -> int:
+    """Upper bound on backtrace loop iterations: every step lowers the
+    score by at least min(mismatch, gap_ext) (wfa.go:884-909)."""
+    step = max(1, min(penalties.mismatch, penalties.gap_ext))
+    return s_cap // step + 4
 
 
-def end_finder(hist_m, k0, lo_m, hi_m, ex_m, final_s, qlen, tlen, S, K):
+def end_finder(hist, k0, final_s, qlen, tlen, S, K):
     """Vectorized semi-global end finder (wfa.go:270-375).
 
     For every existing score row the reference scans k downward from Ak
     and upward from Ak+1, skipping absent cells, failing at the first
     bound-violating cell and succeeding at the first last-row/col cell.
     Equivalently: the nearest *stop* cell in each direction decides.
+    ``hist`` is the combined [S, B, 3, K] history (M component used).
     Returns (min_s, last_k) per pair.
     """
-    B = qlen.shape[0]
     ks = k0[None, :, None] + jnp.arange(K, dtype=jnp.int32)[None, None, :]
-    cell = hist_m  # [S, B, K]
+    cell = hist[:, :, COMP_M, :]  # [S, B, K]
     n = qlen[None, :, None]
     m = tlen[None, :, None]
     s_rows = jnp.arange(S, dtype=jnp.int32)[:, None, None]
-    okc = (
-        ex_m[:, :, None]
-        & (cell > 0)
-        & (ks >= lo_m[:, :, None])
-        & (ks <= hi_m[:, :, None])
-        & (s_rows <= final_s[None, :, None])
-    )
+    okc = (cell > 0) & (s_rows <= final_s[None, :, None])
     h = cell >> TYPE_BITS
     v = h - ks
     viol = (v <= 0) | (v > n) | (h > m)
@@ -132,49 +120,113 @@ def end_finder(hist_m, k0, lo_m, hi_m, ex_m, final_s, qlen, tlen, S, K):
     )
 
 
+def device_stats(tok0, buf, tail):
+    """Vectorized AlignmentResult.process stats (wfa_cigar.go:171-211).
+
+    Works directly on the emission-order token stream (tok0, buf rows,
+    tail), which is the reverse of the final op order; zero tokens are
+    empty slots.  Stats cover merged ops between the first and last M
+    run: in emission order that is the span [first M token, last M token],
+    and a merged gap region starts wherever an I/D token's previous
+    non-empty token (emission order) has a different code.
+
+    Returns (align_len, matches, gaps, gap_regions), each int32[B].
+    """
+    B = tok0.shape[0]
+    toks = jnp.concatenate(
+        [tok0[:, None], jnp.transpose(buf, (1, 0, 2)).reshape(B, -1), tail],
+        axis=1,
+    )  # [B, NS] emission order
+    NS = toks.shape[1]
+    code = toks >> 28
+    run = toks & ((1 << 28) - 1)
+    nz = toks != 0
+    pos = jnp.arange(NS, dtype=jnp.int32)[None, :]
+
+    is_m = nz & (code == CODE_M)
+    first_m = jnp.min(jnp.where(is_m, pos, NS), axis=1, keepdims=True)
+    last_m = jnp.max(jnp.where(is_m, pos, -1), axis=1, keepdims=True)
+    # Go's begin/end default to index 0 when no M exists
+    # (wfa_cigar.go:171-187): the span is then just the first final-order
+    # op = the last non-empty token in emission order.
+    has_m = last_m >= 0
+    last_nz = jnp.max(jnp.where(nz, pos, -1), axis=1, keepdims=True)
+    first_m = jnp.where(has_m, first_m, last_nz)
+    last_m = jnp.where(has_m, last_m, last_nz)
+    span = nz & (pos >= first_m) & (pos <= last_m)
+
+    align_len = jnp.sum(jnp.where(span, run, 0), axis=1)
+    matches = jnp.sum(jnp.where(span & (code == CODE_M), run, 0), axis=1)
+    is_gap = (code == CODE_I) | (code == CODE_D)
+    gaps = jnp.sum(jnp.where(span & is_gap, run, 0), axis=1)
+
+    # previous non-empty token's code without a gather: cummax over
+    # pos*8|code packs (monotone in pos), shifted right by one slot
+    packp = jnp.where(nz, pos * 8 + code, -1)
+    cm = lax.cummax(packp, axis=1)
+    prev_pack = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), cm[:, :-1]], axis=1)
+    prev_code = prev_pack & 7
+    prev_pos = prev_pack >> 3
+    prev_in_span = (prev_pack >= 0) & (prev_pos >= first_m)
+    region_start = span & is_gap & (~prev_in_span | (prev_code != code))
+    gap_regions = jnp.sum(region_start.astype(jnp.int32), axis=1)
+
+    return align_len, matches, gaps, gap_regions
+
+
 def device_backtrace(
-    hist_m, hist_i, hist_d,
-    k0, lo_m, hi_m, lo_i, hi_i, lo_d, hi_d, ex_m, ex_i, ex_d,
-    start_s, start_k, qlen, tlen, active0,
-    *, penalties, global_alignment: bool, S: int, K: int, ops_cap: int,
+    hist, k0, start_s, start_k, qlen, tlen, active0,
+    *, penalties, global_alignment: bool, S: int, K: int,
 ):
     """Exact device port of the backtrace loop (wfa.go:703-983).
 
-    Returns (buf [B, ops_cap] int32 op tokens in emission order,
-    cnt [B], q_begin, q_end, t_begin, t_end).
+    ``hist`` is the combined int32[S, B, 3, K] packed-cell history.
+    Returns (tok0 [B], buf [it_cap, B, 2], tail [B, 4], q_begin, q_end,
+    t_begin, t_end): op tokens in emission order tok0, buf[0], buf[1], …,
+    tail, with zero = empty slot.  The buffer is iteration-major so the
+    loop writes one leading-dim row per step (no scatters, no dynamic
+    lane offsets).
     """
     B = qlen.shape[0]
     x = np.int32(penalties.mismatch)
     oe = np.int32(penalties.gap_open + penalties.gap_ext)
     e = np.int32(penalties.gap_ext)
     semi = not global_alignment
+    it_cap = iter_capacity(S, penalties)
 
-    read_m = _reader(hist_m, k0, lo_m, hi_m, ex_m, S, B, K)
-    read_i = _reader(hist_i, k0, lo_i, hi_i, ex_i, S, B, K)
-    read_d = _reader(hist_d, k0, lo_d, hi_d, ex_d, S, B, K)
-
-    bidx = jnp.arange(B)
+    flat = hist.reshape(S * B * 3 * K)
+    bidx = jnp.arange(B, dtype=jnp.int32)
     code_tab = jnp.asarray(_TAG2CODE)
 
-    def emit(buf, cnt, do, code, n):
-        idx = jnp.where(do, cnt, ops_cap)  # OOB index -> dropped
-        buf = buf.at[bidx, idx].set(_pack(code, n), mode="drop")
-        return buf, cnt + do.astype(jnp.int32)
+    def flat_idx(s, comp, k):
+        """Flat index of (s[B], comp[B]|int, k[B]) with validity mask."""
+        j = k - k0
+        ok = (s >= 0) & (s < S) & (j >= 0) & (j < K)
+        sc = jnp.clip(s, 0, S - 1)
+        jc = jnp.clip(j, 0, K - 1)
+        return ((sc * B + bidx) * 3 + comp) * K + jc, ok
+
+    def read1(s, comp, k):
+        idx, ok = flat_idx(s, comp, k)
+        cell = jnp.take(flat, idx)
+        found = ok & (cell > 0)
+        return jnp.where(found, cell, 0), found
 
     # ---- start point (wfa.go:738-750); existence deliberately unchecked.
-    raw, _ = read_m(start_s, start_k)
+    raw, _ = read1(start_s, COMP_M, start_k)
     tag = raw & ((1 << TYPE_BITS) - 1)
     h = raw >> TYPE_BITS
     v = h - start_k
 
-    buf = jnp.zeros((B, ops_cap), jnp.int32)
-    cnt = jnp.zeros((B,), jnp.int32)
+    buf = jnp.zeros((it_cap, B, 2), jnp.int32)
     fl_i = h < tlen
     fl_h = (~fl_i) & (v < qlen)
-    buf, cnt = emit(
-        buf, cnt, active0 & (fl_i | fl_h),
-        jnp.where(fl_i, CODE_I, CODE_H),
-        jnp.maximum(jnp.where(fl_i, tlen - h, qlen - v), 0),
+    tok0 = jnp.where(
+        active0 & (fl_i | fl_h),
+        _pack(jnp.where(fl_i, CODE_I, CODE_H),
+              jnp.maximum(jnp.where(fl_i, tlen - h, qlen - v), 0)),
+        0,
     )
 
     alive = active0 & (v > 0) & (h > 0)
@@ -186,25 +238,43 @@ def device_backtrace(
     tb0 = jnp.zeros((B,), jnp.int32)
     s = start_s
     k = start_k
+    # component of the pending tag read — M until an Ext step says I/D
+    comp = jnp.full((B,), COMP_M, jnp.int32)
+    pending = jnp.zeros((B,), bool)  # a step happened; tag read deferred
     it = jnp.int32(0)
 
     def body(c):
-        (s, k, h, v, tag, pfm, first, qe, te, qb0, tb0, buf, cnt, alive, it) = c
+        (s, k, h, v, tag, comp, pending, pfm, first, qe, te, qb0, tb0, buf,
+         alive, it) = c
         smis = s - x
         sgo = s - oe
         sge = s - e
 
-        # the five source reads of the offset recomputation (wfa.go:766-817)
-        v1a, fa = read_m(sgo, k - 1)
-        v2a, ga = read_i(sge, k - 1)
-        v1b, fb = read_m(sgo, k + 1)
-        v2b, gb = read_d(sge, k + 1)
-        vx, fx = read_m(smis, k)
-        v1a >>= TYPE_BITS
-        v2a >>= TYPE_BITS
-        v1b >>= TYPE_BITS
-        v2b >>= TYPE_BITS
-        vx >>= TYPE_BITS
+        # ONE fused gather: the five recompute sources (wfa.go:766-817)
+        # plus the pending next-tag cell at (s, k, comp).
+        i0, ok0 = flat_idx(sgo, COMP_M, k - 1)
+        i1, ok1 = flat_idx(sge, COMP_I, k - 1)
+        i2, ok2 = flat_idx(sgo, COMP_M, k + 1)
+        i3, ok3 = flat_idx(sge, COMP_D, k + 1)
+        i4, ok4 = flat_idx(smis, COMP_M, k)
+        i5, ok5 = flat_idx(s, comp, k)
+        cells = jnp.take(flat, jnp.stack([i0, i1, i2, i3, i4, i5], axis=1))
+        fa = ok0 & (cells[:, 0] > 0)
+        ga = ok1 & (cells[:, 1] > 0)
+        fb = ok2 & (cells[:, 2] > 0)
+        gb = ok3 & (cells[:, 3] > 0)
+        fx = ok4 & (cells[:, 4] > 0)
+        v1a = jnp.where(fa, cells[:, 0] >> TYPE_BITS, 0)
+        v2a = jnp.where(ga, cells[:, 1] >> TYPE_BITS, 0)
+        v1b = jnp.where(fb, cells[:, 2] >> TYPE_BITS, 0)
+        v2b = jnp.where(gb, cells[:, 3] >> TYPE_BITS, 0)
+        vx = jnp.where(fx, cells[:, 4] >> TYPE_BITS, 0)
+        # pending tag read (wfa.go:915-920), deferred from the last step
+        tag_ok = ok5 & (cells[:, 5] > 0)
+        die0 = alive & pending & ~tag_ok
+        tag = jnp.where(pending & tag_ok,
+                        cells[:, 5] & ((1 << TYPE_BITS) - 1), tag)
+        alive = alive & ~die0
 
         is_ie = tag == T_INS_EXT
         is_de = tag == T_DEL_EXT
@@ -227,7 +297,7 @@ def device_backtrace(
         te = jnp.where(set_end, h, te)
         qe = jnp.where(set_end, v, qe)
         first = first & ~emit1
-        buf, cnt = emit(buf, cnt, emit1, CODE_M, jnp.maximum(nmatch, 0))
+        tok_m = jnp.where(emit1, _pack(CODE_M, jnp.maximum(nmatch, 0)), 0)
 
         upd_hv = cont & pfm
         h = jnp.where(upd_hv, offset0, h)
@@ -243,7 +313,9 @@ def device_backtrace(
         cont2 = cont & ~die2
 
         # record the current op (wfa.go:871-874)
-        buf, cnt = emit(buf, cnt, cont2, code_tab[tag], jnp.int32(1))
+        tok_op = jnp.where(cont2, _pack(code_tab[tag], jnp.int32(1)), 0)
+        toks = jnp.stack([tok_m, tok_op], axis=1)  # [B, 2]
+        buf = lax.dynamic_update_slice(buf, toks[None], (it, 0, 0))
 
         die3 = cont2 & semi & ((h == 1) | (v == 1))
         cont3 = cont2 & ~die3
@@ -253,12 +325,9 @@ def device_backtrace(
         is_io = tag == T_INS_OPEN
         is_do = tag == T_DEL_OPEN
         valid_tag = is_mis | is_io | is_ie | is_do | is_de
-        die4 = cont3 & ~valid_tag
 
         step = cont3 & valid_tag
-        s_n = jnp.where(
-            is_mis, smis, jnp.where(is_io | is_do, sgo, sge)
-        )
+        s_n = jnp.where(is_mis, smis, jnp.where(is_io | is_do, sgo, sge))
         k_n = k + jnp.where(is_io | is_ie, -1, jnp.where(is_do | is_de, 1, 0))
         h_n = h + jnp.where(is_mis | is_io | is_ie, -1, 0)
         s = jnp.where(step, s_n, s)
@@ -266,30 +335,33 @@ def device_backtrace(
         h = jnp.where(step, h_n, h)
         v = jnp.where(step, h - k, v)
         pfm = jnp.where(step, ~(is_ie | is_de), pfm)
+        comp = jnp.where(
+            step,
+            jnp.where(is_ie, COMP_I, jnp.where(is_de, COMP_D, COMP_M)),
+            comp,
+        )
 
-        # read the next tag from the matching component (wfa.go:915-920)
-        raw_m, ok_m = read_m(s, k)
-        raw_i, ok_i = read_i(s, k)
-        raw_d, ok_d = read_d(s, k)
-        raw_n = jnp.where(is_ie, raw_i, jnp.where(is_de, raw_d, raw_m))
-        ok_n = jnp.where(is_ie, ok_i, jnp.where(is_de, ok_d, ok_m))
-        die5 = step & ~ok_n
-        tag = jnp.where(step & ok_n, raw_n & ((1 << TYPE_BITS) - 1), tag)
-
-        alive = step & ~die5 & (v > 0) & (h > 0) & (it < S + 4)
-        return (s, k, h, v, tag, pfm, first, qe, te, qb0, tb0, buf, cnt,
-                alive, it + 1)
+        pending = step
+        alive = step & (v > 0) & (h > 0) & (it < it_cap - 1)
+        return (s, k, h, v, tag, comp, pending, pfm, first, qe, te, qb0,
+                tb0, buf, alive, it + 1)
 
     def cond(c):
-        return jnp.any(c[13])
+        return jnp.any(c[14])
 
-    (s, k, h, v, tag, pfm, first, qe, te, qb0, tb0, buf, cnt, alive, it) = (
-        lax.while_loop(
-            cond, body,
-            (s, k, h, v, tag, pfm, first, qe, te, qb0, tb0, buf, cnt,
-             alive, it),
-        )
+    (s, k, h, v, tag, comp, pending, pfm, first, qe, te, qb0, tb0, buf,
+     alive, it) = lax.while_loop(
+        cond, body,
+        (s, k, h, v, tag, comp, pending, pfm, first, qe, te, qb0, tb0, buf,
+         alive, it),
     )
+
+    # lanes that stepped in their final iteration exited with the tag read
+    # still pending; the reference updates the tag before its loop check
+    # (wfa.go:915-920), so the tail below must see it — apply it now.
+    raw_p, ok_p = read1(s, comp, k)
+    appl = pending & ok_p
+    tag = jnp.where(appl, raw_p & ((1 << TYPE_BITS) - 1), tag)
 
     # ---- the last one (wfa.go:930-968), one-shot masked tail
     tl = active0 & (h > 0) & (v > 0)
@@ -299,7 +371,7 @@ def device_backtrace(
     te = jnp.where(set_end, h, te)
     qe = jnp.where(set_end, v, qe)
     first = first & ~e1
-    buf, cnt = emit(buf, cnt, e1, CODE_M, jnp.maximum(nm, 0))
+    tok_a = jnp.where(e1, _pack(CODE_M, jnp.maximum(nm, 0)), 0)
     h = jnp.where(e1, h - nm, h)
     v = jnp.where(e1, v - nm, v)
     is_match = tag == T_MATCH
@@ -311,12 +383,14 @@ def device_backtrace(
     set_end2 = e1b & first
     te = jnp.where(set_end2, h, te)
     qe = jnp.where(set_end2, v, qe)
-    buf, cnt = emit(buf, cnt, tl, code_tab[tag], jnp.int32(1))
+    tok_b = jnp.where(tl, _pack(code_tab[tag], jnp.int32(1)), 0)
 
     # leading flanks (wfa.go:970-976)
     ev = active0 & (v > 1)
-    buf, cnt = emit(buf, cnt, ev, CODE_H, jnp.maximum(v - 1, 0))
+    tok_c = jnp.where(ev, _pack(CODE_H, jnp.maximum(v - 1, 0)), 0)
     eh = active0 & (h > 1)
-    buf, cnt = emit(buf, cnt, eh, CODE_I, jnp.maximum(h - 1, 0))
+    tok_d = jnp.where(eh, _pack(CODE_I, jnp.maximum(h - 1, 0)), 0)
 
-    return buf, cnt, qb0, qe, tb0, te
+    tail = jnp.stack([tok_a, tok_b, tok_c, tok_d], axis=1)
+
+    return tok0, buf, tail, qb0, qe, tb0, te

@@ -688,26 +688,32 @@ _run_batch = functools.partial(
 )(_run_batch_impl)
 
 
-def ops_capacity(s_cap: int, penalties: Penalties) -> int:
-    """Op-token buffer size: ≤2 tokens per backtrace step + flanks/tail.
-    Each backtrace step lowers the score by ≥ min(mismatch, gap_ext)."""
-    step = max(1, min(penalties.mismatch, penalties.gap_ext))
-    return 2 * (s_cap // step) + 16
-
-
 def _align_full_impl(
-    qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig, B: int, Lq: int, Ltb: int
+    qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig, B: int, Lq: int,
+    Ltb: int, engine: str = "jax",
 ):
     """Full on-device alignment: score loop + end finder + backtrace.
 
     Only per-pair scalars and compact op-token buffers leave the device —
-    the packed wavefront history stays in HBM.
+    the packed wavefront history stays in HBM.  The score loop runs as
+    the fused Pallas kernel when the config supports it (see
+    pallas_engine.supports) unless ``engine`` says otherwise.
     """
-    from .device_backtrace import device_backtrace, end_finder
+    from .device_backtrace import device_backtrace, device_stats, end_finder
 
-    st = _run_batch_impl(
-        qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb
-    )
+    if engine == "pallas":
+        from .pallas_engine import pallas_run_batch
+
+        final_s, done, overflow, hist = pallas_run_batch(
+            qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        st = _run_batch_impl(
+            qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb
+        )
+        hist = jnp.stack([st.hist_m, st.hist_i, st.hist_d], axis=2)
+        final_s, done, overflow = st.final_s, st.done, st.overflow
     S = cfg.s_cap
     K = cfg.k_win
     qlen = qlen.astype(jnp.int32)
@@ -715,36 +721,38 @@ def _align_full_impl(
     k0 = -toff.astype(jnp.int32)
     ak = tlen - qlen
     if cfg.global_alignment:
-        start_s, start_k = st.final_s, ak
+        start_s, start_k = final_s, ak
     else:
         start_s, start_k = end_finder(
-            st.hist_m, k0, st.lo_m, st.hi_m, st.ex_m,
-            st.final_s, qlen, tlen, S, K,
+            hist, k0, final_s, qlen, tlen, S, K,
         )
-    active0 = st.done & ~st.overflow
-    buf, cnt, qb0, qe, tb0, te = device_backtrace(
-        st.hist_m, st.hist_i, st.hist_d,
-        k0, st.lo_m, st.hi_m, st.lo_i, st.hi_i, st.lo_d, st.hi_d,
-        st.ex_m, st.ex_i, st.ex_d,
-        start_s, start_k, qlen, tlen, active0,
+    active0 = done & ~overflow
+    tok0, buf, tail, qb0, qe, tb0, te = device_backtrace(
+        hist, k0, start_s, start_k, qlen, tlen, active0,
         penalties=cfg.penalties,
         global_alignment=cfg.global_alignment,
-        S=S, K=K, ops_cap=ops_capacity(S, cfg.penalties),
+        S=S, K=K,
     )
+    align_len, matches, gaps, gap_regions = device_stats(tok0, buf, tail)
     return {
         "score": start_s,
-        "overflow": st.overflow,
+        "overflow": overflow,
+        "tok0": tok0,
         "buf": buf,
-        "cnt": cnt,
+        "tail": tail,
         "q_begin": qb0,
         "q_end": qe,
         "t_begin": tb0,
         "t_end": te,
+        "align_len": align_len,
+        "matches": matches,
+        "gaps": gaps,
+        "gap_regions": gap_regions,
     }
 
 
 _align_full = functools.partial(
-    jax.jit, static_argnames=("cfg", "B", "Lq", "Ltb")
+    jax.jit, static_argnames=("cfg", "B", "Lq", "Ltb", "engine")
 )(_align_full_impl)
 
 
@@ -764,6 +772,7 @@ class BatchAligner:
         adaptive: Optional[AdaptiveReductionOption] = None,
         k_win: int = 128,
         s_cap: int = 256,
+        engine: str = "auto",
     ) -> None:
         self.cfg = EngineConfig(
             penalties=penalties,
@@ -772,6 +781,18 @@ class BatchAligner:
             k_win=k_win,
             s_cap=s_cap,
         )
+        if engine == "auto":
+            # fused Pallas kernel on real accelerators when the config
+            # fits its windows; interpret-mode Pallas is far too slow for
+            # the CPU path, so fall back to the XLA lockstep engine there
+            from .pallas_engine import supports
+
+            engine = (
+                "pallas"
+                if supports(self.cfg, 0) and jax.default_backend() != "cpu"
+                else "jax"
+            )
+        self.engine = engine
         self._oracle = OracleAligner(penalties, options, adaptive)
 
     # -- public API ---------------------------------------------------------
@@ -833,7 +854,7 @@ class BatchAligner:
         out = _align_full(
             jnp.asarray(qb), jnp.asarray(tbuf),
             jnp.asarray(qlen), jnp.asarray(tlen), jnp.asarray(toff),
-            cfg=self.cfg, B=B, Lq=Lq, Ltb=Ltb,
+            cfg=self.cfg, B=B, Lq=Lq, Ltb=Ltb, engine=self.engine,
         )
         return pairs, out
 
@@ -848,29 +869,41 @@ class BatchAligner:
     def _finish(self, pairs, out, fallback: bool) -> List[Optional[AlignmentResult]]:
         """Decode device op tokens into AlignmentResults (reverse + merge +
         stats happen in AlignmentResult.process, as in the reference)."""
-        from .device_backtrace import OP_CHARS
 
         results: List[Optional[AlignmentResult]] = []
-        buf = out["buf"]
-        cnt = out["cnt"]
+        # assemble per-pair token streams: start token, the iteration-major
+        # loop buffer flattened per pair, then the tail tokens.  Stats were
+        # computed on device; op decoding is lazy (first .ops access).
+        B = len(pairs)
+        buf = np.concatenate(
+            [
+                out["tok0"][:, None],
+                np.transpose(out["buf"], (1, 0, 2)).reshape(B, -1),
+                out["tail"],
+            ],
+            axis=1,
+        )
+        ga = self.cfg.global_alignment
+        overflow = out["overflow"].tolist()
+        score = out["score"].tolist()
+        q_begin, q_end = out["q_begin"].tolist(), out["q_end"].tolist()
+        t_begin, t_end = out["t_begin"].tolist(), out["t_end"].tolist()
+        align_len, matches = out["align_len"].tolist(), out["matches"].tolist()
+        gaps, gap_regions = out["gaps"].tolist(), out["gap_regions"].tolist()
         for i, (q, t) in enumerate(pairs):
-            if out["overflow"][i]:
+            if overflow[i]:
                 results.append(self._oracle.align(q, t) if fallback else None)
                 continue
-            res = AlignmentResult(self.cfg.global_alignment)
-            res.score = int(out["score"][i])
-            n_ops = int(cnt[i])
-            toks = buf[i, :n_ops]
-            codes = toks >> 28
-            runs = toks & ((1 << 28) - 1)
-            res.ops = [
-                (OP_CHARS[c] if c < len(OP_CHARS) else ".", int(r))
-                for c, r in zip(codes, runs)
-            ]
-            res.q_begin = int(out["q_begin"][i])
-            res.q_end = int(out["q_end"][i])
-            res.t_begin = int(out["t_begin"][i])
-            res.t_end = int(out["t_end"][i])
-            res.process()
+            res = AlignmentResult(ga)
+            res.score = score[i]
+            res.set_device_tokens(buf[i])
+            res.q_begin = q_begin[i]
+            res.q_end = q_end[i]
+            res.t_begin = t_begin[i]
+            res.t_end = t_end[i]
+            res.align_len = align_len[i]
+            res.matches = matches[i]
+            res.gaps = gaps[i]
+            res.gap_regions = gap_regions[i]
             results.append(res)
         return results

@@ -54,7 +54,7 @@ from .engine import EngineConfig, _seed_rows, _stop_tables
 
 _BIG = np.int32(1 << 30)
 
-B_BLK = 8  # pairs per kernel block (sublane tile)
+B_BLK = 32  # pairs per kernel block (sublane tiles)
 CH = 8  # history scores per output DMA chunk
 _NP = 16  # packed per-pair parameter columns
 
@@ -77,10 +77,10 @@ def _iota(shape, dim):
 
 
 def _kernel(
-    params_ref, words_ref, fsa_ref, seed0_ref, seedx_ref,
-    out_ref, hm_ref, hi_ref, hd_ref,
+    params_ref, whi_ref, wlo_ref, fsa_ref, seed0_ref, seedx_ref,
+    out_ref, hist_ref,
     m_win, i_win, d_win, ob_m, ob_i, ob_d, sem,
-    *, S, K, Lw, X, OE, E, GLOBAL, REDUCE_ON, MIN_WF_LEN, MAX_DIST_DIFF,
+    *, S, K, Lw2, X, OE, E, GLOBAL, REDUCE_ON, MIN_WF_LEN, MAX_DIST_DIFF,
 ):
     WM = max(X, OE) + 1
     WE = E + 1
@@ -105,10 +105,6 @@ def _kernel(
     ks = k0 + _iota((B_BLK, K), 1)  # [B_BLK, K] diagonal of each column
     lane_k = _iota((B_BLK, K), 1)
     lane_b = _iota((B_BLK, WB), 1)
-    lane_w = _iota((B_BLK, Lw, K), 1)
-
-    words = words_ref[:]  # [B_BLK, Lw, K] — VMEM-resident stop tables
-    fsa = fsa_ref[:]
 
     # ---- init windows & band slots (seeding, wfa.go:143-184) ----
     m_win[...] = jnp.zeros((WM, B_BLK, K), jnp.int32)
@@ -145,27 +141,22 @@ def _kernel(
     def slot_write(arr, slot, val):
         return jnp.where(lane_b == slot, val, arr)
 
-    def comp_krange(lo_a, hi_a, ex_a, s2, diff, W):
-        """KRange with the (0,0) fallback (wfa_component.go:91-101)."""
+    def src_read(win, lo_a, hi_a, ex_a, s2, diff, W):
+        """Fused KRange (wfa_component.go:91-101, with its (0,0) fallback)
+        + GetAfterDiff row read (wfa_component.go:158) for one source."""
         sp = s2 - diff
         okd = sp >= 0
         slot = lax.rem(jnp.maximum(sp, 0), W)
-        ex_sp = (slot_read(ex_a, slot) > 0) & okd
-        lo = jnp.where(ex_sp, slot_read(lo_a, slot), 0)
-        hi = jnp.where(ex_sp, slot_read(hi_a, slot), 0)
-        return lo, hi, ex_sp, slot
-
-    def read_row(win, lo_a, hi_a, ex_a, s2, diff, W):
-        """GetAfterDiff over the circular window (wfa_component.go:158)."""
-        sp = s2 - diff
-        okd = sp >= 0
-        slot = lax.rem(jnp.maximum(sp, 0), W)
+        sel = lane_b == slot
+        lo_sp = jnp.sum(jnp.where(sel, lo_a, 0), axis=1, keepdims=True)
+        hi_sp = jnp.sum(jnp.where(sel, hi_a, 0), axis=1, keepdims=True)
+        ex_sp = (jnp.sum(jnp.where(sel, ex_a, 0), axis=1,
+                         keepdims=True) > 0) & okd
+        lo_kr = jnp.where(ex_sp, lo_sp, 0)
+        hi_kr = jnp.where(ex_sp, hi_sp, 0)
         row = win[pl.ds(slot, 1)][0]  # [B_BLK, K]
-        lo_sp = slot_read(lo_a, slot)
-        hi_sp = slot_read(hi_a, slot)
-        ex_sp = (slot_read(ex_a, slot) > 0) & okd
         found = ex_sp & (ks >= lo_sp) & (ks <= hi_sp) & (row > 0)
-        return jnp.where(found, row >> TYPE_BITS, 0), found
+        return lo_kr, hi_kr, jnp.where(found, row >> TYPE_BITS, 0), found
 
     def shift_km1(row):
         r = pltpu.roll(row, 1, axis=1)
@@ -175,11 +166,13 @@ def _kernel(
         r = pltpu.roll(row, K - 1, axis=1)
         return jnp.where(lane_k == K - 1, 0, r)
 
-    def hist_dma(comp, ob, href, c):
+    def hist_dma(comp, ob, c):
+        # destination: component plane `comp` of the combined history
+        # int32[S, B, 3, K] (layout shared with the device backtrace)
         slot = lax.rem(c, 2)
         return pltpu.make_async_copy(
             ob.at[slot],
-            href.at[pl.ds(c * CH, CH), pl.ds(blk * B_BLK, B_BLK), :],
+            hist_ref.at[pl.ds(c * CH, CH), pl.ds(blk * B_BLK, B_BLK), comp],
             sem.at[slot, comp],
         )
 
@@ -217,11 +210,14 @@ def _kernel(
 
         @pl.when((lax.rem(s, CH) == 0) & (c >= 2))
         def _():
-            hist_dma(0, ob_m, hm_ref, c - 2).wait()
-            hist_dma(1, ob_i, hi_ref, c - 2).wait()
-            hist_dma(2, ob_d, hd_ref, c - 2).wait()
+            hist_dma(0, ob_m, c - 2).wait()
+            hist_dma(1, ob_i, c - 2).wait()
+            hist_dma(2, ob_d, c - 2).wait()
 
         # ---- extend (wfa.go:381-458) ----
+        # One unrolled select-chain pass over the 64-bit stop words plus a
+        # 64-bit clz; runs crossing the 64-bit group resolve via the
+        # first-stop-after table.  No gathers, no data-dependent loop.
         cell = m_win[pl.ds(slot_s, 1)][0]
         off = cell >> TYPE_BITS
         valid = (cell > 0) & (ks >= lo_ms) & (ks <= hi_ms) & ex_ms & live0
@@ -229,12 +225,31 @@ def _kernel(
         v0 = off - ks
         act0 = valid & (v0 > 0) & (v0 < qlen) & (h0 < tlen)
         c0 = h0 + toff
-        w0 = jnp.clip(c0 >> 5, 0, Lw - 1)
-        sel = lane_w == w0[:, None, :]
-        word0 = jnp.sum(jnp.where(sel, words, 0), axis=1)
-        fsa0 = jnp.min(jnp.where(sel, fsa, _BIG), axis=1)
-        vis = word0 << (c0 & 31)
-        n_ext = jnp.where(vis != 0, lax.clz(vis), fsa0 - c0)
+        w2 = jnp.clip(c0 >> 6, 0, Lw2 - 1)
+        word_hi = jnp.zeros((B_BLK, K), jnp.int32)
+        word_lo = jnp.zeros((B_BLK, K), jnp.int32)
+        fsa0 = jnp.full((B_BLK, K), _BIG, jnp.int32)
+        for w in range(Lw2):
+            m = w2 == w
+            word_hi = jnp.where(m, whi_ref[:, w], word_hi)
+            word_lo = jnp.where(m, wlo_ref[:, w], word_lo)
+            fsa0 = jnp.where(m, fsa_ref[:, w], fsa0)
+        r = c0 & 63
+        rl = jnp.maximum(r - 32, 0)  # clamped: unused branch must not trap
+        rr = jnp.clip(32 - r, 0, 31)
+        rc = r & 31  # clamped shift for the r < 32 branch
+        vis_hi = jnp.where(
+            r >= 32,
+            word_lo << rl,
+            (word_hi << rc) | jnp.where(r == 0, 0,
+                                        lax.shift_right_logical(word_lo, rr)),
+        )
+        vis_lo = jnp.where(r >= 32, 0, word_lo << rc)
+        n_ext = jnp.where(
+            vis_hi != 0,
+            lax.clz(vis_hi),
+            jnp.where(vis_lo != 0, 32 + lax.clz(vis_lo), fsa0 - c0),
+        )
         n_ext = jnp.where(act0, n_ext, 0)
         row_m = jnp.where(act0 & (n_ext > 0), cell + (n_ext << TYPE_BITS),
                           cell)
@@ -319,16 +334,16 @@ def _kernel(
 
         @pl.when(lax.rem(s, CH) == CH - 1)
         def _():
-            hist_dma(0, ob_m, hm_ref, c).start()
-            hist_dma(1, ob_i, hi_ref, c).start()
-            hist_dma(2, ob_d, hd_ref, c).start()
+            hist_dma(0, ob_m, c).start()
+            hist_dma(1, ob_i, c).start()
+            hist_dma(2, ob_d, c).start()
 
         # ---- next (wfa.go:549-700) ----
         s2 = s + 1
-        lo_x, hi_x, _, _ = comp_krange(m_lo, m_hi, m_ex, s2, X, WM)
-        lo_o, hi_o, _, _ = comp_krange(m_lo, m_hi, m_ex, s2, OE, WM)
-        lo_ie, hi_ie, _, _ = comp_krange(i_lo, i_hi, i_ex, s2, E, WE)
-        lo_de, hi_de, _, _ = comp_krange(d_lo, d_hi, d_ex, s2, E, WE)
+        lo_x, hi_x, mx, f_mx = src_read(m_win, m_lo, m_hi, m_ex, s2, X, WM)
+        lo_o, hi_o, moe, f_moe = src_read(m_win, m_lo, m_hi, m_ex, s2, OE, WM)
+        lo_ie, hi_ie, ie, f_ie = src_read(i_win, i_lo, i_hi, i_ex, s2, E, WE)
+        lo_de, hi_de, de, f_de = src_read(d_win, d_lo, d_hi, d_ex, s2, E, WE)
 
         hi_n = jnp.minimum(
             tlen - 1,
@@ -342,11 +357,6 @@ def _kernel(
         overflow = jnp.where(
             live & ((lo_n < k0) | (hi_n >= k0 + K)), 1, overflow)
         live = (done == 0) & (overflow == 0)
-
-        moe, f_moe = read_row(m_win, m_lo, m_hi, m_ex, s2, OE, WM)
-        mx, f_mx = read_row(m_win, m_lo, m_hi, m_ex, s2, X, WM)
-        ie, f_ie = read_row(i_win, i_lo, i_hi, i_ex, s2, E, WE)
-        de, f_de = read_row(d_win, d_lo, d_hi, d_ex, s2, E, WE)
 
         # insertion (wfa.go:578-608): sources at k-1
         v1i = shift_km1(moe)
@@ -477,21 +487,21 @@ def _kernel(
 
     @pl.when(lax.rem(s_exit, CH) != 0)
     def _():
-        hist_dma(0, ob_m, hm_ref, nchunks - 1).start()
-        hist_dma(1, ob_i, hi_ref, nchunks - 1).start()
-        hist_dma(2, ob_d, hd_ref, nchunks - 1).start()
+        hist_dma(0, ob_m, nchunks - 1).start()
+        hist_dma(1, ob_i, nchunks - 1).start()
+        hist_dma(2, ob_d, nchunks - 1).start()
 
     @pl.when(nchunks >= 1)
     def _():
-        hist_dma(0, ob_m, hm_ref, nchunks - 1).wait()
-        hist_dma(1, ob_i, hi_ref, nchunks - 1).wait()
-        hist_dma(2, ob_d, hd_ref, nchunks - 1).wait()
+        hist_dma(0, ob_m, nchunks - 1).wait()
+        hist_dma(1, ob_i, nchunks - 1).wait()
+        hist_dma(2, ob_d, nchunks - 1).wait()
 
     @pl.when(nchunks >= 2)
     def _():
-        hist_dma(0, ob_m, hm_ref, nchunks - 2).wait()
-        hist_dma(1, ob_i, hi_ref, nchunks - 2).wait()
-        hist_dma(2, ob_d, hd_ref, nchunks - 2).wait()
+        hist_dma(0, ob_m, nchunks - 2).wait()
+        hist_dma(1, ob_i, nchunks - 2).wait()
+        hist_dma(2, ob_d, nchunks - 2).wait()
 
     overflow = jnp.where(done == 0, 1, overflow)
     res = jnp.concatenate(
@@ -503,7 +513,7 @@ def _kernel(
 def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
                      B: int, Lq: int, Ltb: int, interpret: bool = False):
     """Run the fused score-loop kernel; returns
-    (final_s, done, overflow, hist_m, hist_i, hist_d) for B pairs.
+    (final_s, done, overflow, hist[S, B, 3, K]) for B pairs.
 
     Histories contain garbage above each pair's final score and in
     overflow pairs' columns — consumers must respect final_s/overflow
@@ -523,9 +533,17 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         overflow0 = overflow0 | ((tlen - 1) >= k0 + K)
 
     words, fsa = _stop_tables(qb, tbuf, qlen, tlen, toff, K, Lq, Ltb)
-    words = jnp.transpose(words, (0, 2, 1))  # [B, Lw, K]
-    fsa = jnp.transpose(fsa, (0, 2, 1))
-    Lw = words.shape[1]
+    # regroup the 32-bit stop words into 64-bit (hi, lo) pairs; the
+    # 64-level first-stop-after table is the 32-level one at odd indices
+    Lw = words.shape[-1]
+    if Lw % 2:
+        words = jnp.pad(words, ((0, 0), (0, 0), (0, 1)))
+        fsa = jnp.pad(fsa, ((0, 0), (0, 0), (0, 1)),
+                      constant_values=int(_BIG))
+    whi = jnp.transpose(words[..., 0::2], (0, 2, 1))  # [B, Lw2, K]
+    wlo = jnp.transpose(words[..., 1::2], (0, 2, 1))
+    fsa64 = jnp.transpose(fsa[..., 1::2], (0, 2, 1))
+    Lw2 = whi.shape[1]
 
     (row0, lo0, hi0, ex0), (rowx, lox, hix, exx) = _seed_rows(
         qb, tbuf, qlen, tlen, toff,
@@ -547,15 +565,16 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         params = jnp.concatenate(
             [params, jnp.tile(params[:1], (pad, 1))
              .at[:, 4].set(1)], axis=0)
-        words = jnp.concatenate([words, jnp.tile(words[:1], (pad, 1, 1))], 0)
-        fsa = jnp.concatenate([fsa, jnp.tile(fsa[:1], (pad, 1, 1))], 0)
+        whi = jnp.concatenate([whi, jnp.tile(whi[:1], (pad, 1, 1))], 0)
+        wlo = jnp.concatenate([wlo, jnp.tile(wlo[:1], (pad, 1, 1))], 0)
+        fsa64 = jnp.concatenate([fsa64, jnp.tile(fsa64[:1], (pad, 1, 1))], 0)
         row0 = jnp.concatenate([row0, jnp.zeros((pad, K), jnp.int32)], 0)
         rowx = jnp.concatenate([rowx, jnp.zeros((pad, K), jnp.int32)], 0)
 
     WM = max(p.mismatch, p.gap_open + p.gap_ext) + 1
     WE = p.gap_ext + 1
     kern = functools.partial(
-        _kernel, S=S, K=K, Lw=Lw,
+        _kernel, S=S, K=K, Lw2=Lw2,
         X=int(p.mismatch), OE=int(p.gap_open + p.gap_ext),
         E=int(p.gap_ext),
         GLOBAL=cfg.global_alignment,
@@ -565,15 +584,17 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     )
 
     nblk = Bp // B_BLK
-    out, hm, hi_, hd = pl.pallas_call(
+    out, hist = pl.pallas_call(
         kern,
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((B_BLK, _NP), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_BLK, Lw, K), lambda b: (b, 0, 0),
+            pl.BlockSpec((B_BLK, Lw2, K), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_BLK, Lw, K), lambda b: (b, 0, 0),
+            pl.BlockSpec((B_BLK, Lw2, K), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, Lw2, K), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B_BLK, K), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -584,14 +605,10 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
             pl.BlockSpec((B_BLK, 8), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, 8), jnp.int32),
-            jax.ShapeDtypeStruct((S, Bp, K), jnp.int32),
-            jax.ShapeDtypeStruct((S, Bp, K), jnp.int32),
-            jax.ShapeDtypeStruct((S, Bp, K), jnp.int32),
+            jax.ShapeDtypeStruct((S, Bp, 3, K), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((WM, B_BLK, K), jnp.int32),
@@ -604,9 +621,9 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(params, words, fsa, row0, rowx)
+    )(params, whi, wlo, fsa64, row0, rowx)
 
     final_s = out[:B, 0]
     done = out[:B, 1] > 0
     overflow = out[:B, 2] > 0
-    return final_s, done, overflow, hm[:, :B], hi_[:, :B], hd[:, :B]
+    return final_s, done, overflow, hist[:, :B]

@@ -97,8 +97,9 @@ def dp_align_full(
     """
     lb = _local_b(qb.shape[0], mesh)
     out_specs = {
-        "score": P("dp"), "overflow": P("dp"), "buf": P("dp"),
-        "cnt": P("dp"), "q_begin": P("dp"), "q_end": P("dp"),
+        "score": P("dp"), "overflow": P("dp"), "tok0": P("dp"),
+        "buf": P(None, "dp", None), "tail": P("dp"),
+        "q_begin": P("dp"), "q_end": P("dp"),
         "t_begin": P("dp"), "t_end": P("dp"),
     }
 

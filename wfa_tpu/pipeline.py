@@ -55,10 +55,15 @@ class AlignmentPipeline:
             # semi-global seeds span the full diagonal range
             k_win = full_span
         elif cfg.adaptive is not None:
-            # wf-adaptive trims the band to ~2*max_dist_diff; leave slack
-            band = 4 * (cfg.adaptive.max_dist_diff + 2)
+            # wf-adaptive trims the band to ~2*max_dist_diff; measured
+            # whole-run diagonal extents stay within ~2*(max_dist_diff+2)
+            # even at 20% error, so tier 0 runs the tight window and the
+            # rare escapees retry wider
+            band = 2 * (cfg.adaptive.max_dist_diff + 2)
             k_win = min(full_span, _round_up(max(cfg.k_win_base, band), 128))
-            if tier >= 1:
+            if tier == 1:
+                k_win = min(full_span, 4 * k_win)
+            elif tier >= 2:
                 k_win = full_span
         else:
             k_win = full_span
