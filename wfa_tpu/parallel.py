@@ -101,6 +101,8 @@ def dp_align_full(
         "buf": P(None, "dp", None), "tail": P("dp"),
         "q_begin": P("dp"), "q_end": P("dp"),
         "t_begin": P("dp"), "t_end": P("dp"),
+        "align_len": P("dp"), "matches": P("dp"),
+        "gaps": P("dp"), "gap_regions": P("dp"),
     }
 
     @functools.partial(
