@@ -4,23 +4,26 @@ The reference's backtrace (wfa.go:703-983) is a sequential pointer chase
 through the wavefront history.  Running it host-side would require
 shipping the whole packed history off-device (hundreds of MB per batch);
 instead the chase runs *on device*: all B pairs step in lockstep through
-a ``lax.while_loop``, each iteration doing ONE 6-cell gather per pair
-from the HBM-resident combined history, and emitting (op, run-length)
-tokens into dense per-iteration buffer slots (no scatters).  Only those
-token buffers (~KB/pair) ever leave the device.
+a ``lax.while_loop``, each iteration doing ONE one-cell gather per pair
+from the HBM-resident *backtrace-aux* tensor, and emitting
+(op, run-length) tokens into dense per-iteration buffer slots (no
+scatters).  Only those token buffers (~KB/pair) ever leave the device.
 
-Layout: the combined history is ``int32[S, B, 3, K]`` (components
-M=0, I=1, D=2) with a fixed per-pair window origin ``k0[b]`` (column j
-holds diagonal ``k0 + j`` at every score).  Cell = ``offset << 3 | tag``,
-0 = absent; the engines maintain the invariant that cells outside a
-wavefront's live band are zero, so presence == cell > 0 and per-score
-band arrays are not needed here.
+Layout: the aux tensor is ``int32[S, B, 3, K]`` (components M=0, I=1,
+D=2) with a fixed per-pair window origin ``k0[b]`` (column j holds
+diagonal ``k0 + j`` at every score).  Each aux cell packs
+``offset0 << 3 | tag`` (0 = absent): the cell's stored tag plus the
+pre-extension offset that the reference's backtrace would recompute at
+that cell (branch chosen by the cell's own tag: InsertExt -> I-rule,
+DeleteExt -> D-rule, else the default M-rule; wfa.go:757-827).  The
+forward engines bake these values from the same raw source reads the
+reference recompute performs — the source rows are frozen by the time
+next() reads them, so the values are identical by construction.
 
-The gather fusion works because next()'s source positions depend only on
-(s, k) — not on the current tag — so the "read tag of the new cell"
-(wfa.go:915-920) is deferred into the NEXT iteration's gather: each
-iteration reads the 5 recompute sources of (s, k) plus the (s, k) cell
-itself in the component selected by the previous step.
+Two fusions make the chase one gather per step: the offset0 recompute is
+precomputed per cell (above), and the "read tag of the new cell"
+(wfa.go:915-920) is deferred into the NEXT iteration's gather — the aux
+value at the stepped-into cell carries both its tag and its offset0.
 
 Outputs are bit-identical to the host backtrace: the loop is an exact
 port including break order, ``previousFromM`` handling and the
@@ -71,18 +74,18 @@ def iter_capacity(s_cap: int, penalties) -> int:
     return s_cap // step + 4
 
 
-def end_finder(hist, k0, final_s, qlen, tlen, S, K):
+def end_finder(hist_m, k0, final_s, qlen, tlen, S, K):
     """Vectorized semi-global end finder (wfa.go:270-375).
 
     For every existing score row the reference scans k downward from Ak
     and upward from Ak+1, skipping absent cells, failing at the first
     bound-violating cell and succeeding at the first last-row/col cell.
     Equivalently: the nearest *stop* cell in each direction decides.
-    ``hist`` is the combined [S, B, 3, K] history (M component used).
+    ``hist_m`` is the M-component packed-cell history [S, B, K].
     Returns (min_s, last_k) per pair.
     """
     ks = k0[None, :, None] + jnp.arange(K, dtype=jnp.int32)[None, None, :]
-    cell = hist[:, :, COMP_M, :]  # [S, B, K]
+    cell = hist_m  # [S, B, K]
     n = qlen[None, :, None]
     m = tlen[None, :, None]
     s_rows = jnp.arange(S, dtype=jnp.int32)[:, None, None]
@@ -176,12 +179,18 @@ def device_stats(tok0, buf, tail):
 
 
 def device_backtrace(
-    hist, k0, start_s, start_k, qlen, tlen, active0,
+    aux, start_cell, k0, start_s, start_k, qlen, tlen, active0,
     *, penalties, global_alignment: bool, S: int, K: int,
 ):
     """Exact device port of the backtrace loop (wfa.go:703-983).
 
-    ``hist`` is the combined int32[S, B, 3, K] packed-cell history.
+    ``aux`` is the combined int32[S, B, 3, K] backtrace-aux tensor: per
+    cell ``offset0 << 3 | tag`` where offset0 is the branch-selected
+    pre-extension offset the reference recomputes at that cell
+    (wfa.go:757-827) — baked by the forward pass, making each chase step
+    ONE one-cell gather.  ``start_cell`` is the raw packed start M cell
+    (GetRaw at (start_s, start_k), wfa.go:738).
+
     Returns (tok0 [B], buf [it_cap, B, 2], tail [B, 4], q_begin, q_end,
     t_begin, t_end): op tokens in emission order tok0, buf[0], buf[1], …,
     tail, with zero = empty slot.  The buffer is iteration-major so the
@@ -195,26 +204,25 @@ def device_backtrace(
     semi = not global_alignment
     it_cap = iter_capacity(S, penalties)
 
-    flat = hist.reshape(S * B * 3 * K)
+    flat = aux.reshape(S * B * 3 * K)
     bidx = jnp.arange(B, dtype=jnp.int32)
     code_tab = jnp.asarray(_TAG2CODE)
 
-    def flat_idx(s, comp, k):
-        """Flat index of (s[B], comp[B]|int, k[B]) with validity mask."""
+    def read_aux(s, comp, k):
+        """One-cell aux gather at (s[B], comp[B], k[B]): returns
+        (offset0, tag, found)."""
         j = k - k0
         ok = (s >= 0) & (s < S) & (j >= 0) & (j < K)
         sc = jnp.clip(s, 0, S - 1)
         jc = jnp.clip(j, 0, K - 1)
-        return ((sc * B + bidx) * 3 + comp) * K + jc, ok
-
-    def read1(s, comp, k):
-        idx, ok = flat_idx(s, comp, k)
+        idx = ((sc * B + bidx) * 3 + comp) * K + jc
         cell = jnp.take(flat, idx)
         found = ok & (cell > 0)
-        return jnp.where(found, cell, 0), found
+        cell = jnp.where(found, cell, 0)
+        return cell >> TYPE_BITS, cell & ((1 << TYPE_BITS) - 1), found
 
     # ---- start point (wfa.go:738-750); existence deliberately unchecked.
-    raw, _ = read1(start_s, COMP_M, start_k)
+    raw = start_cell
     tag = raw & ((1 << TYPE_BITS) - 1)
     h = raw >> TYPE_BITS
     v = h - start_k
@@ -250,44 +258,20 @@ def device_backtrace(
         sgo = s - oe
         sge = s - e
 
-        # ONE fused gather: the five recompute sources (wfa.go:766-817)
-        # plus the pending next-tag cell at (s, k, comp).
-        i0, ok0 = flat_idx(sgo, COMP_M, k - 1)
-        i1, ok1 = flat_idx(sge, COMP_I, k - 1)
-        i2, ok2 = flat_idx(sgo, COMP_M, k + 1)
-        i3, ok3 = flat_idx(sge, COMP_D, k + 1)
-        i4, ok4 = flat_idx(smis, COMP_M, k)
-        i5, ok5 = flat_idx(s, comp, k)
-        cells = jnp.take(flat, jnp.stack([i0, i1, i2, i3, i4, i5], axis=1))
-        fa = ok0 & (cells[:, 0] > 0)
-        ga = ok1 & (cells[:, 1] > 0)
-        fb = ok2 & (cells[:, 2] > 0)
-        gb = ok3 & (cells[:, 3] > 0)
-        fx = ok4 & (cells[:, 4] > 0)
-        v1a = jnp.where(fa, cells[:, 0] >> TYPE_BITS, 0)
-        v2a = jnp.where(ga, cells[:, 1] >> TYPE_BITS, 0)
-        v1b = jnp.where(fb, cells[:, 2] >> TYPE_BITS, 0)
-        v2b = jnp.where(gb, cells[:, 3] >> TYPE_BITS, 0)
-        vx = jnp.where(fx, cells[:, 4] >> TYPE_BITS, 0)
-        # pending tag read (wfa.go:915-920), deferred from the last step
-        tag_ok = ok5 & (cells[:, 5] > 0)
+        # ONE one-cell gather: the aux value at (s, k) in the component
+        # the previous step selected carries BOTH the cell tag
+        # (wfa.go:915-920, read deferred from the last step) and the
+        # branch-selected pre-extension offset0 (wfa.go:757-827).
+        offset0, tag_new, tag_ok = read_aux(s, comp, k)
         die0 = alive & pending & ~tag_ok
-        tag = jnp.where(pending & tag_ok,
-                        cells[:, 5] & ((1 << TYPE_BITS) - 1), tag)
+        tag = jnp.where(pending & tag_ok, tag_new, tag)
         alive = alive & ~die0
 
         is_ie = tag == T_INS_EXT
         is_de = tag == T_DEL_EXT
-        isk = jnp.where(fa | ga, jnp.maximum(v1a, v2a) + 1, 0)
-        dsk = jnp.where(fb | gb, jnp.maximum(v1b, v2b), 0)
-        from_any = fa | ga | fb | gb | fx
-        off_def = jnp.maximum(jnp.maximum(isk, dsk), vx + 1)
-        offset0 = jnp.where(
-            is_ie, isk,
-            jnp.where(is_de, dsk, jnp.where(from_any, off_def, 0)),
-        )
-        from_itself = (~is_ie) & (~is_de) & (~from_any)
-        die = from_itself | (offset0 == 0)
+        # offset0 == 0 covers both the reference's from-itself break and
+        # its offset0 == 0 break (wfa.go:819-827)
+        die = offset0 == 0
         cont = alive & ~die
 
         # traceback matches (wfa.go:832-869)
@@ -359,9 +343,9 @@ def device_backtrace(
     # lanes that stepped in their final iteration exited with the tag read
     # still pending; the reference updates the tag before its loop check
     # (wfa.go:915-920), so the tail below must see it — apply it now.
-    raw_p, ok_p = read1(s, comp, k)
+    _, tag_p, ok_p = read_aux(s, comp, k)
     appl = pending & ok_p
-    tag = jnp.where(appl, raw_p & ((1 << TYPE_BITS) - 1), tag)
+    tag = jnp.where(appl, tag_p, tag)
 
     # ---- the last one (wfa.go:930-968), one-shot masked tail
     tl = active0 & (h > 0) & (v > 0)

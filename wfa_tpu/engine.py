@@ -68,6 +68,9 @@ class _State(NamedTuple):
     hist_m: jnp.ndarray  # [S, B, K] int32 packed cells
     hist_i: jnp.ndarray
     hist_d: jnp.ndarray
+    aux_m: jnp.ndarray  # [S, B, K] int32 backtrace aux: offset0 << 3 | tag
+    aux_i: jnp.ndarray
+    aux_d: jnp.ndarray
     lo_m: jnp.ndarray  # [S, B] int32 live band (k-space)
     hi_m: jnp.ndarray
     lo_i: jnp.ndarray
@@ -324,6 +327,9 @@ def _run_batch_impl(
     hist_m = jnp.zeros((S, B, K), jnp.int32)
     hist_i = jnp.zeros((S, B, K), jnp.int32)
     hist_d = jnp.zeros((S, B, K), jnp.int32)
+    aux_m = jnp.zeros((S, B, K), jnp.int32)
+    aux_i = jnp.zeros((S, B, K), jnp.int32)
+    aux_d = jnp.zeros((S, B, K), jnp.int32)
     lo_m = jnp.full((S, B), _BIG, jnp.int32)
     hi_m = jnp.full((S, B), -_BIG, jnp.int32)
     lo_i = jnp.full((S, B), _BIG, jnp.int32)
@@ -347,11 +353,15 @@ def _run_batch_impl(
         K=K, Lq=Lq, Ltb=Ltb,
     )
     hist_m = hist_m.at[0].set(row0)
+    # seed cells have no sources (the backtrace's from-itself break), so
+    # their aux value is just the tag bits
+    aux_m = aux_m.at[0].set(row0 & 7)
     lo_m = lo_m.at[0].set(lo0)
     hi_m = hi_m.at[0].set(hi0)
     ex_m = ex_m.at[0].set(ex0)
     if 0 < p.mismatch < S:
         hist_m = hist_m.at[int(p.mismatch)].set(rowx)
+        aux_m = aux_m.at[int(p.mismatch)].set(rowx & 7)
         lo_m = lo_m.at[int(p.mismatch)].set(lox)
         hi_m = hi_m.at[int(p.mismatch)].set(hix)
         ex_m = ex_m.at[int(p.mismatch)].set(exx)
@@ -364,6 +374,7 @@ def _run_batch_impl(
         overflow=overflow0,
         final_s=jnp.zeros((B,), jnp.int32),
         hist_m=hist_m, hist_i=hist_i, hist_d=hist_d,
+        aux_m=aux_m, aux_i=aux_i, aux_d=aux_d,
         lo_m=lo_m, hi_m=hi_m, lo_i=lo_i, hi_i=hi_i, lo_d=lo_d, hi_d=hi_d,
         ex_m=ex_m, ex_i=ex_i, ex_d=ex_d,
     )
@@ -449,6 +460,7 @@ def _run_batch_impl(
         lo_i_all, hi_i_all = st.lo_i, st.hi_i
         lo_d_all, hi_d_all = st.lo_d, st.hi_d
         hist_i, hist_d = st.hist_i, st.hist_d
+        aux_m, aux_i, aux_d = st.aux_m, st.aux_i, st.aux_d
         if reduce_on:
             red = ex_ms & (~done) & ((hi_ms - lo_ms + 1) >= min_wf_len)
             offc = row_m >> TYPE_BITS
@@ -480,12 +492,15 @@ def _run_batch_impl(
             )
             row_m = jnp.where(zero_m, 0, row_m)
             hist_m = _set_row(hist_m, s, row_m)
+            aux_m = _set_row(
+                aux_m, s,
+                jnp.where(row_m != 0, _row_at(aux_m, s), 0))
             lo_m_all = _set_col(lo_m_all, s, jnp.where(red, new_lo, lo_ms))
             hi_m_all = _set_col(hi_m_all, s, jnp.where(red, new_hi, hi_ms))
 
             # co-deletion from I and D (wfa.go:526-535): two ascending
             # Delete sweeps, [lo, _lo) then (_hi, hi].
-            def co_delete(hist_c, lo_c, hi_c, ex_c):
+            def co_delete(hist_c, aux_c, lo_c, hi_c, ex_c):
                 row = _row_at(hist_c, s)
                 lo_cs = _col_at(lo_c, s)
                 hi_cs = _col_at(hi_c, s)
@@ -502,15 +517,17 @@ def _run_batch_impl(
                 )
                 row = jnp.where(zero, 0, row)
                 hist_c = _set_row(hist_c, s, row)
+                aux_c = _set_row(
+                    aux_c, s, jnp.where(row != 0, _row_at(aux_c, s), 0))
                 lo_c = _set_col(lo_c, s, jnp.where(gate, l2, lo_cs))
                 hi_c = _set_col(hi_c, s, jnp.where(gate, h2, hi_cs))
-                return hist_c, lo_c, hi_c
+                return hist_c, aux_c, lo_c, hi_c
 
-            hist_i, lo_i_all, hi_i_all = co_delete(
-                hist_i, lo_i_all, hi_i_all, st.ex_i
+            hist_i, aux_i, lo_i_all, hi_i_all = co_delete(
+                hist_i, aux_i, lo_i_all, hi_i_all, st.ex_i
             )
-            hist_d, lo_d_all, hi_d_all = co_delete(
-                hist_d, lo_d_all, hi_d_all, st.ex_d
+            hist_d, aux_d, lo_d_all, hi_d_all = co_delete(
+                hist_d, aux_d, lo_d_all, hi_d_all, st.ex_d
             )
 
         # ---------------- next (wfa.go:549-700) ----------------
@@ -546,6 +563,9 @@ def _run_batch_impl(
         fmi = _shift_km1(f_moe.astype(jnp.int32)).astype(bool)
         v2i = _shift_km1(ie)
         fii = _shift_km1(f_ie.astype(jnp.int32)).astype(bool)
+        # pre-invalidation snapshot: the backtrace recomputes offsets from
+        # raw stored cells WITHOUT the bound invalidation (wfa.go:757-827)
+        isk_nb = jnp.where(fmi | fii, jnp.maximum(v1i, v2i) + 1, 0)
         bad = fmi & (v1i > tlen[:, None])
         fmi, v1i = fmi & ~bad, jnp.where(bad, 0, v1i)
         bad = fii & (v2i > tlen[:, None])
@@ -559,6 +579,8 @@ def _run_batch_impl(
         fmd = _shift_kp1(f_moe.astype(jnp.int32)).astype(bool)
         v2d = _shift_kp1(de)
         fdd = _shift_kp1(f_de.astype(jnp.int32)).astype(bool)
+        dsk_nb = jnp.where(fmd | fdd, jnp.maximum(v1d, v2d), 0)
+        any_id_nb = fmi | fii | fmd | fdd
         bad = fmd & ((v1d - ks) > qlen[:, None])
         fmd, v1d = fmd & ~bad, jnp.where(bad, 0, v1d)
         bad = fdd & ((v2d - ks) > qlen[:, None])
@@ -569,6 +591,9 @@ def _run_batch_impl(
 
         # mismatch / M (wfa.go:648-698)
         v1x, fmx = mx, f_mx
+        off_def_nb = jnp.where(
+            any_id_nb | fmx,
+            jnp.maximum(jnp.maximum(isk_nb, dsk_nb), v1x + 1), 0)
         bad = fmx & ((v1x > tlen[:, None]) | ((v1x - ks) > qlen[:, None]))
         fmx, v1x = fmx & ~bad, jnp.where(bad, 0, v1x)
         Msk = jnp.maximum(
@@ -592,6 +617,20 @@ def _run_batch_impl(
         # write I / D rows (fresh wavefronts at s2)
         row_i_new = jnp.where(wr_i, (Isk << TYPE_BITS) | tag_i, 0)
         row_d_new = jnp.where(wr_d, (Dsk << TYPE_BITS) | tag_d, 0)
+        # backtrace-aux values: each cell's branch is selected by its OWN
+        # tag (InsertExt -> I-rule, DeleteExt -> D-rule, else the default
+        # M-rule, wfa.go:757-817)
+        aux_i_new = jnp.where(
+            wr_i,
+            (jnp.where(tag_i == T_INS_EXT, isk_nb, off_def_nb)
+             << TYPE_BITS) | tag_i, 0)
+        aux_d_new = jnp.where(
+            wr_d,
+            (jnp.where(tag_d == T_DEL_EXT, dsk_nb, off_def_nb)
+             << TYPE_BITS) | tag_d, 0)
+        aux_m_val = jnp.where(
+            tag_m == T_INS_EXT, isk_nb,
+            jnp.where(tag_m == T_DEL_EXT, dsk_nb, off_def_nb))
 
         # write M row, merging any pre-existing wavefront at s2 (the seed
         # rows at scores 0 and x; same window origin, so a plain select).
@@ -600,6 +639,9 @@ def _run_batch_impl(
         hi_m_old = _col_at(hi_m_all, s2)
         row_m_old = _row_at(hist_m, s2)
         row_m_new = jnp.where(wr_m, (Msk << TYPE_BITS) | tag_m, row_m_old)
+        aux_m_old = _row_at(st.aux_m, s2)
+        aux_m_new = jnp.where(wr_m, (aux_m_val << TYPE_BITS) | tag_m,
+                              aux_m_old)
 
         any_i = jnp.any(wr_i, axis=1)
         any_d = jnp.any(wr_d, axis=1)
@@ -625,6 +667,15 @@ def _run_batch_impl(
         )
         hist_m = _set_row(
             hist_m, s2, jnp.where(frzc, row_m_old, row_m_new)
+        )
+        aux_i = _set_row(
+            aux_i, s2, jnp.where(frzc, _row_at(aux_i, s2), aux_i_new)
+        )
+        aux_d = _set_row(
+            aux_d, s2, jnp.where(frzc, _row_at(aux_d, s2), aux_d_new)
+        )
+        aux_m = _set_row(
+            aux_m, s2, jnp.where(frzc, aux_m_old, aux_m_new)
         )
         lo_i_all = _set_col(
             lo_i_all, s2,
@@ -669,6 +720,7 @@ def _run_batch_impl(
         return _State(
             s=s2, done=done, overflow=overflow, final_s=final_s,
             hist_m=hist_m, hist_i=hist_i, hist_d=hist_d,
+            aux_m=aux_m, aux_i=aux_i, aux_d=aux_d,
             lo_m=lo_m_all, hi_m=hi_m_all,
             lo_i=lo_i_all, hi_i=hi_i_all,
             lo_d=lo_d_all, hi_d=hi_d_all,
@@ -701,34 +753,45 @@ def _align_full_impl(
     """
     from .device_backtrace import device_backtrace, device_stats, end_finder
 
+    S = cfg.s_cap
+    K = cfg.k_win
+    k0 = -toff.astype(jnp.int32)
     if engine == "pallas":
         from .pallas_engine import pallas_run_batch
 
-        final_s, done, overflow, hist = pallas_run_batch(
+        final_s, done, overflow, start_cell, aux = pallas_run_batch(
             qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb,
             interpret=jax.default_backend() == "cpu",
         )
+        qlen = qlen.astype(jnp.int32)
+        tlen = tlen.astype(jnp.int32)
+        start_s, start_k = final_s, tlen - qlen  # pallas path is global
     else:
         st = _run_batch_impl(
             qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb
         )
-        hist = jnp.stack([st.hist_m, st.hist_i, st.hist_d], axis=2)
+        aux = jnp.stack([st.aux_m, st.aux_i, st.aux_d], axis=2)
         final_s, done, overflow = st.final_s, st.done, st.overflow
-    S = cfg.s_cap
-    K = cfg.k_win
-    qlen = qlen.astype(jnp.int32)
-    tlen = tlen.astype(jnp.int32)
-    k0 = -toff.astype(jnp.int32)
-    ak = tlen - qlen
-    if cfg.global_alignment:
-        start_s, start_k = final_s, ak
-    else:
-        start_s, start_k = end_finder(
-            hist, k0, final_s, qlen, tlen, S, K,
-        )
+        qlen = qlen.astype(jnp.int32)
+        tlen = tlen.astype(jnp.int32)
+        ak = tlen - qlen
+        if cfg.global_alignment:
+            start_s, start_k = final_s, ak
+        else:
+            start_s, start_k = end_finder(
+                st.hist_m, k0, final_s, qlen, tlen, S, K,
+            )
+        # GetRaw of the start cell (wfa.go:738), one [B] gather
+        bidx = jnp.arange(B, dtype=jnp.int32)
+        j_st = start_k - k0
+        ok_st = (start_s >= 0) & (start_s < S) & (j_st >= 0) & (j_st < K)
+        flat_m = st.hist_m.reshape(S * B * K)
+        idx = (jnp.clip(start_s, 0, S - 1) * B + bidx) * K + jnp.clip(
+            j_st, 0, K - 1)
+        start_cell = jnp.where(ok_st, jnp.take(flat_m, idx), 0)
     active0 = done & ~overflow
     tok0, buf, tail, qb0, qe, tb0, te = device_backtrace(
-        hist, k0, start_s, start_k, qlen, tlen, active0,
+        aux, start_cell, k0, start_s, start_k, qlen, tlen, active0,
         penalties=cfg.penalties,
         global_alignment=cfg.global_alignment,
         S=S, K=K,

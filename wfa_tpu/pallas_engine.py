@@ -67,6 +67,8 @@ def supports(cfg: EngineConfig, Ltb: int) -> bool:
         return False
     if cfg.k_win > 512:  # VMEM budget for the stop tables
         return False
+    if not cfg.global_alignment:
+        return False  # the end finder needs the raw history
     if cfg.s_cap % CH != 0:
         return False
     return True
@@ -78,8 +80,8 @@ def _iota(shape, dim):
 
 def _kernel(
     params_ref, whi_ref, wlo_ref, fsa_ref, seed0_ref, seedx_ref,
-    out_ref, hist_ref,
-    m_win, i_win, d_win, ob_m, ob_i, ob_d, sem,
+    out_ref, aux_ref,
+    m_win, i_win, d_win, am_win, ai_win, ad_win, ob_m, ob_i, ob_d, sem,
     *, S, K, Lw2, X, OE, E, GLOBAL, REDUCE_ON, MIN_WF_LEN, MAX_DIST_DIFF,
 ):
     WM = max(X, OE) + 1
@@ -113,6 +115,13 @@ def _kernel(
     m_win[0] = seed0_ref[:]
     if 0 < X < WM:
         m_win[X] = seedx_ref[:]
+    # aux plane (backtrace pre-extension offsets): seed cells have no
+    # sources (the reference's from-itself break), so their aux value is
+    # just the tag bits
+    am_win[...] = jnp.zeros((2, B_BLK, K), jnp.int32)
+    ai_win[...] = jnp.zeros((2, B_BLK, K), jnp.int32)
+    ad_win[...] = jnp.zeros((2, B_BLK, K), jnp.int32)
+    am_win[0] = seed0_ref[:] & 7
 
     def band_init(lo_v, hi_v, ex_v, slot):
         sel = lane_b == slot
@@ -167,12 +176,12 @@ def _kernel(
         return jnp.where(lane_k == K - 1, 0, r)
 
     def hist_dma(comp, ob, c):
-        # destination: component plane `comp` of the combined history
-        # int32[S, B, 3, K] (layout shared with the device backtrace)
+        # destination: component plane `comp` of the combined backtrace
+        # aux tensor int32[S, B, 3, K] (offset0 << 3 | tag per cell)
         slot = lax.rem(c, 2)
         return pltpu.make_async_copy(
             ob.at[slot],
-            hist_ref.at[pl.ds(c * CH, CH), pl.ds(blk * B_BLK, B_BLK), comp],
+            aux_ref.at[pl.ds(c * CH, CH), pl.ds(blk * B_BLK, B_BLK), comp],
             sem.at[slot, comp],
         )
 
@@ -194,7 +203,7 @@ def _kernel(
 
     # ---------------- the score loop ----------------
     def body(carry):
-        (s, done, overflow, final_s,
+        (s, done, overflow, final_s, term_cell,
          m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex) = carry
 
         live0 = (done == 0) & (overflow == 0)  # [B_BLK, 1]
@@ -261,6 +270,7 @@ def _kernel(
         off_ak = jnp.where(found_ak, cell_ak >> TYPE_BITS, 0)
         newly = live0 & ex_ms & (off_ak >= tlen)
         final_s = jnp.where(newly, s, final_s)
+        term_cell = jnp.where(newly, cell_ak, term_cell)
         done = jnp.where(newly, 1, done)
         live = (done == 0) & (overflow == 0)
 
@@ -321,16 +331,23 @@ def _kernel(
 
         m_win[pl.ds(slot_s, 1)] = row_m[None]
 
-        # ---- stream history row s to HBM (wrote = live at extend) ----
+        # ---- stream backtrace-aux row s to HBM ----
+        # aux row values were final at creation (aux = pre-extension
+        # offsets); masking by the current cell row applies this
+        # iteration's reduce/co-delete deletions
         och = lax.rem(s, CH)
         oslot = lax.rem(c, 2)
         wrote = live0
+        slot_sa = lax.rem(s, 2)
+        am = am_win[pl.ds(slot_sa, 1)][0]
+        ai = ai_win[pl.ds(slot_sa, 1)][0]
+        ad = ad_win[pl.ds(slot_sa, 1)][0]
         ob_m[pl.ds(oslot, 1), pl.ds(och, 1)] = jnp.where(
-            wrote, row_m, 0)[None, None]
+            wrote & (row_m != 0), am, 0)[None, None]
         ob_i[pl.ds(oslot, 1), pl.ds(och, 1)] = jnp.where(
-            wrote, row_i, 0)[None, None]
+            wrote & (row_i != 0), ai, 0)[None, None]
         ob_d[pl.ds(oslot, 1), pl.ds(och, 1)] = jnp.where(
-            wrote, row_d, 0)[None, None]
+            wrote & (row_d != 0), ad, 0)[None, None]
 
         @pl.when(lax.rem(s, CH) == CH - 1)
         def _():
@@ -363,6 +380,10 @@ def _kernel(
         fmi = shift_km1(f_moe.astype(jnp.int32)) > 0
         v2i = shift_km1(ie)
         fii = shift_km1(f_ie.astype(jnp.int32)) > 0
+        # pre-invalidation snapshot: the backtrace recomputes offsets from
+        # the raw stored cells, i.e. WITHOUT the bound invalidation below
+        # (wfa.go:757-827) — bake those values into the aux plane
+        isk_nb = jnp.where(fmi | fii, jnp.maximum(v1i, v2i) + 1, 0)
         bad = fmi & (v1i > tlen)
         fmi, v1i = fmi & ~bad, jnp.where(bad, 0, v1i)
         bad = fii & (v2i > tlen)
@@ -376,6 +397,8 @@ def _kernel(
         fmd = shift_kp1(f_moe.astype(jnp.int32)) > 0
         v2d = shift_kp1(de)
         fdd = shift_kp1(f_de.astype(jnp.int32)) > 0
+        dsk_nb = jnp.where(fmd | fdd, jnp.maximum(v1d, v2d), 0)
+        any_id_nb = fmi | fii | fmd | fdd
         bad = fmd & ((v1d - ks) > qlen)
         fmd, v1d = fmd & ~bad, jnp.where(bad, 0, v1d)
         bad = fdd & ((v2d - ks) > qlen)
@@ -386,6 +409,9 @@ def _kernel(
 
         # mismatch / M with the reference tie-breaking (wfa.go:648-698)
         v1x, fmx = mx, f_mx
+        off_def_nb = jnp.where(
+            any_id_nb | fmx,
+            jnp.maximum(jnp.maximum(isk_nb, dsk_nb), v1x + 1), 0)
         bad = fmx & ((v1x > tlen) | ((v1x - ks) > qlen))
         fmx, v1x = fmx & ~bad, jnp.where(bad, 0, v1x)
         Msk = jnp.maximum(
@@ -403,6 +429,20 @@ def _kernel(
 
         row_i_new = jnp.where(wr_i, (Isk << TYPE_BITS) | tag_i, 0)
         row_d_new = jnp.where(wr_d, (Dsk << TYPE_BITS) | tag_d, 0)
+        # aux values: each cell's backtrace branch is selected by its OWN
+        # tag (InsertExt -> I-rule, DeleteExt -> D-rule, else the default
+        # M-rule, wfa.go:757-817)
+        aux_i_new = jnp.where(
+            wr_i,
+            (jnp.where(tag_i == T_INS_EXT, isk_nb, off_def_nb)
+             << TYPE_BITS) | tag_i, 0)
+        aux_d_new = jnp.where(
+            wr_d,
+            (jnp.where(tag_d == T_DEL_EXT, dsk_nb, off_def_nb)
+             << TYPE_BITS) | tag_d, 0)
+        aux_m_val = jnp.where(
+            tag_m == T_INS_EXT, isk_nb,
+            jnp.where(tag_m == T_DEL_EXT, dsk_nb, off_def_nb))
 
         # merge a pre-existing seed wavefront at s2 (only score X can
         # pre-exist; its slot has not been overwritten yet since X < WM)
@@ -421,6 +461,8 @@ def _kernel(
             lo_m_old = jnp.full((B_BLK, 1), _BIG, jnp.int32)
             hi_m_old = jnp.full((B_BLK, 1), -_BIG, jnp.int32)
         row_m_new = jnp.where(wr_m, (Msk << TYPE_BITS) | tag_m, row_m_old)
+        aux_m_new = jnp.where(wr_m, (aux_m_val << TYPE_BITS) | tag_m,
+                              row_m_old & 7)
 
         any_i = jnp.any(wr_i, axis=1)[:, None]
         any_d = jnp.any(wr_d, axis=1)[:, None]
@@ -441,6 +483,11 @@ def _kernel(
         d_win[pl.ds(slot_s2e, 1)] = jnp.where(frz, 0, row_d_new)[None]
         m_win[pl.ds(slot_s2, 1)] = jnp.where(
             frz, jnp.where(at_seed, row_m_old, 0), row_m_new)[None]
+        slot_s2a = lax.rem(s2, 2)
+        ai_win[pl.ds(slot_s2a, 1)] = jnp.where(frz, 0, aux_i_new)[None]
+        ad_win[pl.ds(slot_s2a, 1)] = jnp.where(frz, 0, aux_d_new)[None]
+        am_win[pl.ds(slot_s2a, 1)] = jnp.where(
+            frz, jnp.where(at_seed, row_m_old & 7, 0), aux_m_new)[None]
 
         i_lo = slot_write(i_lo, slot_s2e,
                           jnp.where(frz | ~any_i, _BIG, lo_i_n))
@@ -468,7 +515,7 @@ def _kernel(
             jnp.where(frz, ex_m_old.astype(jnp.int32),
                       keep_m.astype(jnp.int32)))
 
-        return (s2, done, overflow, final_s,
+        return (s2, done, overflow, final_s, term_cell,
                 m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex)
 
     def cond(carry):
@@ -477,10 +524,10 @@ def _kernel(
         return (s < S - 1) & jnp.any((done == 0) & (overflow == 0))
 
     z1 = jnp.zeros((B_BLK, 1), jnp.int32)
-    carry = (jnp.int32(0), z1, ovf0, z1,
+    carry = (jnp.int32(0), z1, ovf0, z1, z1,
              m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex)
     carry = lax.while_loop(cond, body, carry)
-    s_exit, done, overflow, final_s = carry[0], carry[1], carry[2], carry[3]
+    s_exit, done, overflow, final_s, term_cell = carry[:5]
 
     # flush the partial output chunk and drain outstanding DMAs
     nchunks = (s_exit + CH - 1) // CH
@@ -505,19 +552,23 @@ def _kernel(
 
     overflow = jnp.where(done == 0, 1, overflow)
     res = jnp.concatenate(
-        [final_s, done, overflow, jnp.broadcast_to(s_exit, (B_BLK, 1))]
-        + [z1] * 4, axis=1)
+        [final_s, done, overflow, jnp.broadcast_to(s_exit, (B_BLK, 1)),
+         term_cell] + [z1] * 3, axis=1)
     out_ref[:] = res
 
 
 def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
                      B: int, Lq: int, Ltb: int, interpret: bool = False):
     """Run the fused score-loop kernel; returns
-    (final_s, done, overflow, hist[S, B, 3, K]) for B pairs.
+    (final_s, done, overflow, term_cell, aux[S, B, 3, K]) for B pairs.
 
-    Histories contain garbage above each pair's final score and in
-    overflow pairs' columns — consumers must respect final_s/overflow
-    (the device backtrace and end finder do)."""
+    ``aux`` holds, per cell, the backtrace's branch-selected
+    pre-extension offset and the cell tag (``offset0 << 3 | tag``, 0 =
+    absent) — everything the device backtrace's chase needs in ONE value;
+    ``term_cell`` is the raw packed M cell at (final_s, Ak) that
+    triggered termination (the backtrace start point).  Rows above a
+    pair's final score and overflow pairs' columns contain garbage —
+    consumers must respect final_s/overflow."""
     p = cfg.penalties
     S, K = cfg.s_cap, cfg.k_win
     assert supports(cfg, Ltb), "config not supported by the fused kernel"
@@ -584,7 +635,7 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     )
 
     nblk = Bp // B_BLK
-    out, hist = pl.pallas_call(
+    out, aux = pl.pallas_call(
         kern,
         grid=(nblk,),
         in_specs=[
@@ -614,6 +665,9 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
             pltpu.VMEM((WM, B_BLK, K), jnp.int32),
             pltpu.VMEM((WE, B_BLK, K), jnp.int32),
             pltpu.VMEM((WE, B_BLK, K), jnp.int32),
+            pltpu.VMEM((2, B_BLK, K), jnp.int32),
+            pltpu.VMEM((2, B_BLK, K), jnp.int32),
+            pltpu.VMEM((2, B_BLK, K), jnp.int32),
             pltpu.VMEM((2, CH, B_BLK, K), jnp.int32),
             pltpu.VMEM((2, CH, B_BLK, K), jnp.int32),
             pltpu.VMEM((2, CH, B_BLK, K), jnp.int32),
@@ -626,4 +680,5 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     final_s = out[:B, 0]
     done = out[:B, 1] > 0
     overflow = out[:B, 2] > 0
-    return final_s, done, overflow, hist[:, :B]
+    term_cell = out[:B, 4]
+    return final_s, done, overflow, term_cell, aux[:, :B]

@@ -35,6 +35,8 @@ _STATE_SPECS = _State(
     done=P("dp"), overflow=P("dp"), final_s=P("dp"),
     hist_m=P(None, "dp", None), hist_i=P(None, "dp", None),
     hist_d=P(None, "dp", None),
+    aux_m=P(None, "dp", None), aux_i=P(None, "dp", None),
+    aux_d=P(None, "dp", None),
     lo_m=P(None, "dp"), hi_m=P(None, "dp"),
     lo_i=P(None, "dp"), hi_i=P(None, "dp"),
     lo_d=P(None, "dp"), hi_d=P(None, "dp"),
