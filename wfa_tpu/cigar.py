@@ -87,13 +87,17 @@ class AlignmentResult:
         if self._raw_tokens is not None:
             # decode the device token row: nonzero tokens, reversed into
             # final order, merged below; stats already set by the device
+            import numpy as np
+
             from .device_backtrace import OP_CHARS
 
             toks = self._raw_tokens
+            shift = 12 if toks.dtype == np.int16 else 28
+            mask = (1 << shift) - 1
             toks = toks[toks != 0][::-1]
             self._ops = [
-                (OP_CHARS[t >> 28] if (t >> 28) < len(OP_CHARS) else ".",
-                 int(t & ((1 << 28) - 1)))
+                (OP_CHARS[t >> shift] if (t >> shift) < len(OP_CHARS)
+                 else ".", int(t & mask))
                 for t in toks
             ]
             self._raw_tokens = None

@@ -63,10 +63,6 @@ _TAG2CODE = np.array([7, CODE_I, CODE_I, CODE_D, CODE_D, CODE_X, CODE_M, 7],
 COMP_M, COMP_I, COMP_D = 0, 1, 2
 
 
-def _pack(code, n):
-    return (code << 28) | n
-
-
 def iter_capacity(s_cap: int, penalties) -> int:
     """Upper bound on backtrace loop iterations: every step lowers the
     score by at least min(mismatch, gap_ext) (wfa.go:884-909)."""
@@ -123,7 +119,7 @@ def end_finder(hist_m, k0, final_s, qlen, tlen, S, K):
     )
 
 
-def device_stats(tok0, buf, tail):
+def device_stats(tok0, buf, tail, token_shift: int = 28):
     """Vectorized AlignmentResult.process stats (wfa_cigar.go:171-211).
 
     Works directly on the emission-order token stream (tok0, buf rows,
@@ -141,8 +137,8 @@ def device_stats(tok0, buf, tail):
         axis=1,
     )  # [B, NS] emission order
     NS = toks.shape[1]
-    code = toks >> 28
-    run = toks & ((1 << 28) - 1)
+    code = (toks >> token_shift).astype(jnp.int32)
+    run = (toks & ((1 << token_shift) - 1)).astype(jnp.int32)
     nz = toks != 0
     pos = jnp.arange(NS, dtype=jnp.int32)[None, :]
 
@@ -181,6 +177,7 @@ def device_stats(tok0, buf, tail):
 def device_backtrace(
     aux, start_cell, k0, start_s, start_k, qlen, tlen, active0,
     *, penalties, global_alignment: bool, S: int, K: int,
+    token_shift: int = 28,
 ):
     """Exact device port of the backtrace loop (wfa.go:703-983).
 
@@ -203,6 +200,12 @@ def device_backtrace(
     e = np.int32(penalties.gap_ext)
     semi = not global_alignment
     it_cap = iter_capacity(S, penalties)
+    # 16-bit tokens when run lengths fit 2^token_shift (halves the
+    # device->host token traffic)
+    tok_dtype = jnp.int16 if token_shift <= 12 else jnp.int32
+
+    def _pack(code, n):
+        return (code << token_shift) | n
 
     flat = aux.reshape(S * B * 3 * K)
     bidx = jnp.arange(B, dtype=jnp.int32)
@@ -227,7 +230,7 @@ def device_backtrace(
     h = raw >> TYPE_BITS
     v = h - start_k
 
-    buf = jnp.zeros((it_cap, B, 2), jnp.int32)
+    buf = jnp.zeros((it_cap, B, 2), tok_dtype)
     fl_i = h < tlen
     fl_h = (~fl_i) & (v < qlen)
     tok0 = jnp.where(
@@ -235,7 +238,7 @@ def device_backtrace(
         _pack(jnp.where(fl_i, CODE_I, CODE_H),
               jnp.maximum(jnp.where(fl_i, tlen - h, qlen - v), 0)),
         0,
-    )
+    ).astype(tok_dtype)
 
     alive = active0 & (v > 0) & (h > 0)
     pfm = jnp.ones((B,), bool)  # previousFromM
@@ -298,7 +301,7 @@ def device_backtrace(
 
         # record the current op (wfa.go:871-874)
         tok_op = jnp.where(cont2, _pack(code_tab[tag], jnp.int32(1)), 0)
-        toks = jnp.stack([tok_m, tok_op], axis=1)  # [B, 2]
+        toks = jnp.stack([tok_m, tok_op], axis=1).astype(tok_dtype)
         buf = lax.dynamic_update_slice(buf, toks[None], (it, 0, 0))
 
         die3 = cont2 & semi & ((h == 1) | (v == 1))
@@ -375,6 +378,6 @@ def device_backtrace(
     eh = active0 & (h > 1)
     tok_d = jnp.where(eh, _pack(CODE_I, jnp.maximum(h - 1, 0)), 0)
 
-    tail = jnp.stack([tok_a, tok_b, tok_c, tok_d], axis=1)
+    tail = jnp.stack([tok_a, tok_b, tok_c, tok_d], axis=1).astype(tok_dtype)
 
     return tok0, buf, tail, qb0, qe, tb0, te

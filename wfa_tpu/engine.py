@@ -790,13 +790,15 @@ def _align_full_impl(
             j_st, 0, K - 1)
         start_cell = jnp.where(ok_st, jnp.take(flat_m, idx), 0)
     active0 = done & ~overflow
+    token_shift = 12 if max(Lq, Ltb) < (1 << 12) else 28
     tok0, buf, tail, qb0, qe, tb0, te = device_backtrace(
         aux, start_cell, k0, start_s, start_k, qlen, tlen, active0,
         penalties=cfg.penalties,
         global_alignment=cfg.global_alignment,
-        S=S, K=K,
+        S=S, K=K, token_shift=token_shift,
     )
-    align_len, matches, gaps, gap_regions = device_stats(tok0, buf, tail)
+    align_len, matches, gaps, gap_regions = device_stats(
+        tok0, buf, tail, token_shift)
     return {
         "score": start_s,
         "overflow": overflow,
@@ -861,24 +863,36 @@ class BatchAligner:
     # -- public API ---------------------------------------------------------
 
     def pack_batch(self, pairs: Sequence[Tuple[bytes, bytes]]):
-        """Pad a batch and pre-place each target at column -k0."""
+        """Pad a batch and pre-place each target at column -k0.
+
+        Row construction goes through C-level bytes join/ljust (a numpy
+        row-assignment loop costs ~10x more per pair)."""
         B = len(pairs)
         K = self.cfg.k_win
         ga = self.cfg.global_alignment
-        Lq = max(len(q) for q, _ in pairs)
-        toff = np.zeros((B,), np.int32)
-        for i, (q, t) in enumerate(pairs):
-            toff[i] = -window_origin(len(q), len(t), K, ga)
-        Ltb = int(max(toff[i] + len(t) for i, (_, t) in enumerate(pairs)))
-        qb = np.zeros((B, Lq), np.uint8)
-        tbuf = np.zeros((B, Ltb), np.uint8)
-        qlen = np.zeros((B,), np.int32)
-        tlen = np.zeros((B,), np.int32)
-        for i, (q, t) in enumerate(pairs):
-            qb[i, : len(q)] = np.frombuffer(q, np.uint8)
-            tbuf[i, toff[i] : toff[i] + len(t)] = np.frombuffer(t, np.uint8)
-            qlen[i] = len(q)
-            tlen[i] = len(t)
+        qlen = np.fromiter((len(q) for q, _ in pairs), np.int32, B)
+        tlen = np.fromiter((len(t) for _, t in pairs), np.int32, B)
+        if ga:
+            ak = tlen - qlen
+            toff = (K // 2 - ak // 2).astype(np.int32)
+        else:
+            toff = qlen - 1
+        Lq = int(qlen.max())
+        Ltb = max(int((toff + tlen).max()), 1)
+        pad = b"\0" * (Ltb + 1)
+        toffs = toff.tolist()
+        qb = np.frombuffer(
+            b"".join(q.ljust(Lq, b"\0") for q, _ in pairs), np.uint8
+        ).reshape(B, Lq)
+        # clamp/truncate only matters for overflow pairs (toff < 0 when the
+        # window can't fit); their buffer content is never used
+        tbuf = np.frombuffer(
+            b"".join(
+                (pad[: max(toffs[i], 0)] + t)[:Ltb].ljust(Ltb, b"\0")
+                for i, (_, t) in enumerate(pairs)
+            ),
+            np.uint8,
+        ).reshape(B, Ltb)
         return qb, tbuf, qlen, tlen, toff, Lq, Ltb
 
     def align_batch(
@@ -919,6 +933,10 @@ class BatchAligner:
             jnp.asarray(qlen), jnp.asarray(tlen), jnp.asarray(toff),
             cfg=self.cfg, B=B, Lq=Lq, Ltb=Ltb, engine=self.engine,
         )
+        # queue device->host copies now so they overlap the next batch's
+        # compute instead of serializing at fetch time
+        for a in out.values():
+            a.copy_to_host_async()
         return pairs, out
 
     def finish_batch(self, handle, fallback: bool = True):
