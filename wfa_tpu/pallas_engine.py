@@ -81,7 +81,8 @@ def _iota(shape, dim):
 def _kernel(
     params_ref, whi_ref, wlo_ref, fsa_ref, seed0_ref, seedx_ref,
     out_ref, aux_ref,
-    m_win, i_win, d_win, am_win, ai_win, ad_win, ob_m, ob_i, ob_d, sem,
+    m_win, i_win, d_win, am_win, ai_win, ad_win,
+    ob_m, ob_i, ob_d, sem,
     *, S, K, Lw2, X, OE, E, GLOBAL, REDUCE_ON, MIN_WF_LEN, MAX_DIST_DIFF,
 ):
     WM = max(X, OE) + 1
@@ -202,6 +203,178 @@ def _kernel(
         return new_lo, new_hi, z_lo, z_hi
 
     # ---------------- the score loop ----------------
+    # With x >= 2, e >= 2 and o+e >= 2, next(s+1) reads only rows/bands
+    # older than anything extend/reduce(s) writes (all its source slots
+    # differ from slot_s), so the two phases are data-independent and are
+    # emitted next-first to give the VLIW scheduler two chains to
+    # interleave.  For degenerate penalties the reference order is kept.
+    REORDER = X >= 2 and E >= 2 and OE >= 2
+
+    def run_next(s, done, overflow, live_in, bands):
+        """WF_NEXT (wfa.go:549-700) + backtrace-aux row construction."""
+        (m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex) = bands
+        s2 = s + 1
+        lo_x, hi_x, mx, f_mx = src_read(m_win, m_lo, m_hi, m_ex, s2, X, WM)
+        lo_o, hi_o, moe, f_moe = src_read(m_win, m_lo, m_hi, m_ex, s2, OE, WM)
+        lo_ie, hi_ie, ie, f_ie = src_read(i_win, i_lo, i_hi, i_ex, s2, E, WE)
+        lo_de, hi_de, de, f_de = src_read(d_win, d_lo, d_hi, d_ex, s2, E, WE)
+
+        hi_n = jnp.minimum(
+            tlen - 1,
+            jnp.maximum(jnp.maximum(hi_x, hi_o),
+                        jnp.maximum(hi_ie, hi_de)) + 1)
+        lo_n = jnp.maximum(
+            -(qlen - 1),
+            jnp.minimum(jnp.minimum(lo_x, lo_o),
+                        jnp.minimum(lo_ie, lo_de)) - 1)
+
+        overflow = jnp.where(
+            live_in & ((lo_n < k0) | (hi_n >= k0 + K)), 1, overflow)
+        live = live_in & (overflow == 0)
+
+        # insertion (wfa.go:578-608): sources at k-1
+        v1i = shift_km1(moe)
+        fmi = shift_km1(f_moe.astype(jnp.int32)) > 0
+        v2i = shift_km1(ie)
+        fii = shift_km1(f_ie.astype(jnp.int32)) > 0
+        # pre-invalidation snapshot: the backtrace recomputes offsets from
+        # the raw stored cells, i.e. WITHOUT the bound invalidation below
+        # (wfa.go:757-827) — bake those values into the aux plane
+        isk_nb = jnp.where(fmi | fii, jnp.maximum(v1i, v2i) + 1, 0)
+        bad = fmi & (v1i > tlen)
+        fmi, v1i = fmi & ~bad, jnp.where(bad, 0, v1i)
+        bad = fii & (v2i > tlen)
+        fii, v2i = fii & ~bad, jnp.where(bad, 0, v2i)
+        Isk = jnp.maximum(v1i, v2i) + 1
+        upd_i = fmi | fii
+        tag_i = jnp.where(fmi & (v1i >= v2i), T_INS_OPEN, T_INS_EXT)
+
+        # deletion (wfa.go:612-643): sources at k+1
+        v1d = shift_kp1(moe)
+        fmd = shift_kp1(f_moe.astype(jnp.int32)) > 0
+        v2d = shift_kp1(de)
+        fdd = shift_kp1(f_de.astype(jnp.int32)) > 0
+        dsk_nb = jnp.where(fmd | fdd, jnp.maximum(v1d, v2d), 0)
+        any_id_nb = fmi | fii | fmd | fdd
+        bad = fmd & ((v1d - ks) > qlen)
+        fmd, v1d = fmd & ~bad, jnp.where(bad, 0, v1d)
+        bad = fdd & ((v2d - ks) > qlen)
+        fdd, v2d = fdd & ~bad, jnp.where(bad, 0, v2d)
+        Dsk = jnp.maximum(v1d, v2d)
+        upd_d = fmd | fdd
+        tag_d = jnp.where(fmd & (v1d >= v2d), T_DEL_OPEN, T_DEL_EXT)
+
+        # mismatch / M with the reference tie-breaking (wfa.go:648-698)
+        v1x, fmx = mx, f_mx
+        off_def_nb = jnp.where(
+            any_id_nb | fmx,
+            jnp.maximum(jnp.maximum(isk_nb, dsk_nb), v1x + 1), 0)
+        bad = fmx & ((v1x > tlen) | ((v1x - ks) > qlen))
+        fmx, v1x = fmx & ~bad, jnp.where(bad, 0, v1x)
+        Msk = jnp.maximum(
+            jnp.maximum(jnp.where(upd_i, Isk, 0), jnp.where(upd_d, Dsk, 0)),
+            v1x + 1)
+        tag_m = jnp.where(
+            fmx & (Msk == v1x + 1), T_MISMATCH,
+            jnp.where(upd_i & (Msk == Isk), tag_i, tag_d))
+        wr_m = upd_i | upd_d | fmx
+
+        band = (ks >= lo_n) & (ks <= hi_n)
+        wr_i = upd_i & band & live
+        wr_d = upd_d & band & live
+        wr_m = wr_m & band & live
+
+        row_i_new = jnp.where(wr_i, (Isk << TYPE_BITS) | tag_i, 0)
+        row_d_new = jnp.where(wr_d, (Dsk << TYPE_BITS) | tag_d, 0)
+        # aux values: each cell's backtrace branch is selected by its OWN
+        # tag (InsertExt -> I-rule, DeleteExt -> D-rule, else the default
+        # M-rule, wfa.go:757-817)
+        aux_i_new = jnp.where(
+            wr_i,
+            (jnp.where(tag_i == T_INS_EXT, isk_nb, off_def_nb)
+             << TYPE_BITS) | tag_i, 0)
+        aux_d_new = jnp.where(
+            wr_d,
+            (jnp.where(tag_d == T_DEL_EXT, dsk_nb, off_def_nb)
+             << TYPE_BITS) | tag_d, 0)
+        aux_m_val = jnp.where(
+            tag_m == T_INS_EXT, isk_nb,
+            jnp.where(tag_m == T_DEL_EXT, dsk_nb, off_def_nb))
+
+        # merge a pre-existing seed wavefront at s2 (only score X can
+        # pre-exist; its slot has not been overwritten yet since X < WM)
+        slot_s2 = lax.rem(s2, WM)
+        slot_s2e = lax.rem(s2, WE)
+        at_seed = (s2 == X) if X > 0 else False
+        if X > 0:
+            cur = m_win[pl.ds(slot_s2, 1)][0]
+            row_m_old = jnp.where(at_seed, cur, 0)
+            ex_m_old = jnp.where(at_seed, slot_read(m_ex, slot_s2), 0) > 0
+            lo_m_old = slot_read(m_lo, slot_s2)
+            hi_m_old = slot_read(m_hi, slot_s2)
+        else:
+            row_m_old = jnp.zeros((B_BLK, K), jnp.int32)
+            ex_m_old = jnp.zeros((B_BLK, 1), bool)
+            lo_m_old = jnp.full((B_BLK, 1), _BIG, jnp.int32)
+            hi_m_old = jnp.full((B_BLK, 1), -_BIG, jnp.int32)
+        row_m_new = jnp.where(wr_m, (Msk << TYPE_BITS) | tag_m, row_m_old)
+        aux_m_new = jnp.where(wr_m, (aux_m_val << TYPE_BITS) | tag_m,
+                              row_m_old & 7)
+
+        any_i = jnp.any(wr_i, axis=1)[:, None]
+        any_d = jnp.any(wr_d, axis=1)[:, None]
+        any_m = jnp.any(wr_m, axis=1)[:, None]
+        lo_i_n = jnp.min(jnp.where(wr_i, ks, _BIG), axis=1, keepdims=True)
+        hi_i_n = jnp.max(jnp.where(wr_i, ks, -_BIG), axis=1, keepdims=True)
+        lo_d_n = jnp.min(jnp.where(wr_d, ks, _BIG), axis=1, keepdims=True)
+        hi_d_n = jnp.max(jnp.where(wr_d, ks, -_BIG), axis=1, keepdims=True)
+        lo_m_n = jnp.minimum(
+            jnp.min(jnp.where(wr_m, ks, _BIG), axis=1, keepdims=True),
+            jnp.where(ex_m_old, lo_m_old, _BIG))
+        hi_m_n = jnp.maximum(
+            jnp.max(jnp.where(wr_m, ks, -_BIG), axis=1, keepdims=True),
+            jnp.where(ex_m_old, hi_m_old, -_BIG))
+
+        frz = ~live
+        i_win[pl.ds(slot_s2e, 1)] = jnp.where(frz, 0, row_i_new)[None]
+        d_win[pl.ds(slot_s2e, 1)] = jnp.where(frz, 0, row_d_new)[None]
+        m_win[pl.ds(slot_s2, 1)] = jnp.where(
+            frz, jnp.where(at_seed, row_m_old, 0), row_m_new)[None]
+        slot_s2a = lax.rem(s2, 2)
+        ai_win[pl.ds(slot_s2a, 1)] = jnp.where(frz, 0, aux_i_new)[None]
+        ad_win[pl.ds(slot_s2a, 1)] = jnp.where(frz, 0, aux_d_new)[None]
+        am_win[pl.ds(slot_s2a, 1)] = jnp.where(
+            frz, jnp.where(at_seed, row_m_old & 7, 0), aux_m_new)[None]
+
+        i_lo = slot_write(i_lo, slot_s2e,
+                          jnp.where(frz | ~any_i, _BIG, lo_i_n))
+        i_hi = slot_write(i_hi, slot_s2e,
+                          jnp.where(frz | ~any_i, -_BIG, hi_i_n))
+        i_ex = slot_write(i_ex, slot_s2e,
+                          jnp.where(frz, 0, any_i.astype(jnp.int32)))
+        d_lo = slot_write(d_lo, slot_s2e,
+                          jnp.where(frz | ~any_d, _BIG, lo_d_n))
+        d_hi = slot_write(d_hi, slot_s2e,
+                          jnp.where(frz | ~any_d, -_BIG, hi_d_n))
+        d_ex = slot_write(d_ex, slot_s2e,
+                          jnp.where(frz, 0, any_d.astype(jnp.int32)))
+        keep_m = any_m | ex_m_old
+        m_lo = slot_write(
+            m_lo, slot_s2,
+            jnp.where(frz, jnp.where(ex_m_old, lo_m_old, _BIG),
+                      jnp.where(keep_m, lo_m_n, _BIG)))
+        m_hi = slot_write(
+            m_hi, slot_s2,
+            jnp.where(frz, jnp.where(ex_m_old, hi_m_old, -_BIG),
+                      jnp.where(keep_m, hi_m_n, -_BIG)))
+        m_ex = slot_write(
+            m_ex, slot_s2,
+            jnp.where(frz, ex_m_old.astype(jnp.int32),
+                      keep_m.astype(jnp.int32)))
+
+        return overflow, (m_lo, m_hi, m_ex, i_lo, i_hi, i_ex,
+                          d_lo, d_hi, d_ex)
+
     def body(carry):
         (s, done, overflow, final_s, term_cell,
          m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex) = carry
@@ -223,9 +396,16 @@ def _kernel(
             hist_dma(1, ob_i, c - 2).wait()
             hist_dma(2, ob_d, c - 2).wait()
 
+        bands = (m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex)
+        if REORDER:
+            # a pair that terminates at s harmlessly writes s+1 rows
+            # (never read: rows above final_s are ignored downstream)
+            overflow, bands = run_next(s, done, overflow, live0, bands)
+            (m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex) = bands
+
         # ---- extend (wfa.go:381-458) ----
-        # One unrolled select-chain pass over the 64-bit stop words plus a
-        # 64-bit clz; runs crossing the 64-bit group resolve via the
+        # One select-chain pass over the 64-bit stop words plus a 64-bit
+        # clz; runs crossing the 64-bit group resolve via the
         # first-stop-after table.  No gathers, no data-dependent loop.
         cell = m_win[pl.ds(slot_s, 1)][0]
         off = cell >> TYPE_BITS
@@ -240,9 +420,9 @@ def _kernel(
         fsa0 = jnp.full((B_BLK, K), _BIG, jnp.int32)
         for w in range(Lw2):
             m = w2 == w
-            word_hi = jnp.where(m, whi_ref[:, w], word_hi)
-            word_lo = jnp.where(m, wlo_ref[:, w], word_lo)
-            fsa0 = jnp.where(m, fsa_ref[:, w], fsa0)
+            word_hi = jnp.where(m, whi_ref[:, w * K:(w + 1) * K], word_hi)
+            word_lo = jnp.where(m, wlo_ref[:, w * K:(w + 1) * K], word_lo)
+            fsa0 = jnp.where(m, fsa_ref[:, w * K:(w + 1) * K], fsa0)
         r = c0 & 63
         rl = jnp.maximum(r - 32, 0)  # clamped: unused branch must not trap
         rr = jnp.clip(32 - r, 0, 31)
@@ -355,167 +535,12 @@ def _kernel(
             hist_dma(1, ob_i, c).start()
             hist_dma(2, ob_d, c).start()
 
-        # ---- next (wfa.go:549-700) ----
-        s2 = s + 1
-        lo_x, hi_x, mx, f_mx = src_read(m_win, m_lo, m_hi, m_ex, s2, X, WM)
-        lo_o, hi_o, moe, f_moe = src_read(m_win, m_lo, m_hi, m_ex, s2, OE, WM)
-        lo_ie, hi_ie, ie, f_ie = src_read(i_win, i_lo, i_hi, i_ex, s2, E, WE)
-        lo_de, hi_de, de, f_de = src_read(d_win, d_lo, d_hi, d_ex, s2, E, WE)
+        if not REORDER:
+            bands = (m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex)
+            overflow, bands = run_next(s, done, overflow, live, bands)
+            (m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex) = bands
 
-        hi_n = jnp.minimum(
-            tlen - 1,
-            jnp.maximum(jnp.maximum(hi_x, hi_o),
-                        jnp.maximum(hi_ie, hi_de)) + 1)
-        lo_n = jnp.maximum(
-            -(qlen - 1),
-            jnp.minimum(jnp.minimum(lo_x, lo_o),
-                        jnp.minimum(lo_ie, lo_de)) - 1)
-
-        overflow = jnp.where(
-            live & ((lo_n < k0) | (hi_n >= k0 + K)), 1, overflow)
-        live = (done == 0) & (overflow == 0)
-
-        # insertion (wfa.go:578-608): sources at k-1
-        v1i = shift_km1(moe)
-        fmi = shift_km1(f_moe.astype(jnp.int32)) > 0
-        v2i = shift_km1(ie)
-        fii = shift_km1(f_ie.astype(jnp.int32)) > 0
-        # pre-invalidation snapshot: the backtrace recomputes offsets from
-        # the raw stored cells, i.e. WITHOUT the bound invalidation below
-        # (wfa.go:757-827) — bake those values into the aux plane
-        isk_nb = jnp.where(fmi | fii, jnp.maximum(v1i, v2i) + 1, 0)
-        bad = fmi & (v1i > tlen)
-        fmi, v1i = fmi & ~bad, jnp.where(bad, 0, v1i)
-        bad = fii & (v2i > tlen)
-        fii, v2i = fii & ~bad, jnp.where(bad, 0, v2i)
-        Isk = jnp.maximum(v1i, v2i) + 1
-        upd_i = fmi | fii
-        tag_i = jnp.where(fmi & (v1i >= v2i), T_INS_OPEN, T_INS_EXT)
-
-        # deletion (wfa.go:612-643): sources at k+1
-        v1d = shift_kp1(moe)
-        fmd = shift_kp1(f_moe.astype(jnp.int32)) > 0
-        v2d = shift_kp1(de)
-        fdd = shift_kp1(f_de.astype(jnp.int32)) > 0
-        dsk_nb = jnp.where(fmd | fdd, jnp.maximum(v1d, v2d), 0)
-        any_id_nb = fmi | fii | fmd | fdd
-        bad = fmd & ((v1d - ks) > qlen)
-        fmd, v1d = fmd & ~bad, jnp.where(bad, 0, v1d)
-        bad = fdd & ((v2d - ks) > qlen)
-        fdd, v2d = fdd & ~bad, jnp.where(bad, 0, v2d)
-        Dsk = jnp.maximum(v1d, v2d)
-        upd_d = fmd | fdd
-        tag_d = jnp.where(fmd & (v1d >= v2d), T_DEL_OPEN, T_DEL_EXT)
-
-        # mismatch / M with the reference tie-breaking (wfa.go:648-698)
-        v1x, fmx = mx, f_mx
-        off_def_nb = jnp.where(
-            any_id_nb | fmx,
-            jnp.maximum(jnp.maximum(isk_nb, dsk_nb), v1x + 1), 0)
-        bad = fmx & ((v1x > tlen) | ((v1x - ks) > qlen))
-        fmx, v1x = fmx & ~bad, jnp.where(bad, 0, v1x)
-        Msk = jnp.maximum(
-            jnp.maximum(jnp.where(upd_i, Isk, 0), jnp.where(upd_d, Dsk, 0)),
-            v1x + 1)
-        tag_m = jnp.where(
-            fmx & (Msk == v1x + 1), T_MISMATCH,
-            jnp.where(upd_i & (Msk == Isk), tag_i, tag_d))
-        wr_m = upd_i | upd_d | fmx
-
-        band = (ks >= lo_n) & (ks <= hi_n)
-        wr_i = upd_i & band & live
-        wr_d = upd_d & band & live
-        wr_m = wr_m & band & live
-
-        row_i_new = jnp.where(wr_i, (Isk << TYPE_BITS) | tag_i, 0)
-        row_d_new = jnp.where(wr_d, (Dsk << TYPE_BITS) | tag_d, 0)
-        # aux values: each cell's backtrace branch is selected by its OWN
-        # tag (InsertExt -> I-rule, DeleteExt -> D-rule, else the default
-        # M-rule, wfa.go:757-817)
-        aux_i_new = jnp.where(
-            wr_i,
-            (jnp.where(tag_i == T_INS_EXT, isk_nb, off_def_nb)
-             << TYPE_BITS) | tag_i, 0)
-        aux_d_new = jnp.where(
-            wr_d,
-            (jnp.where(tag_d == T_DEL_EXT, dsk_nb, off_def_nb)
-             << TYPE_BITS) | tag_d, 0)
-        aux_m_val = jnp.where(
-            tag_m == T_INS_EXT, isk_nb,
-            jnp.where(tag_m == T_DEL_EXT, dsk_nb, off_def_nb))
-
-        # merge a pre-existing seed wavefront at s2 (only score X can
-        # pre-exist; its slot has not been overwritten yet since X < WM)
-        slot_s2 = lax.rem(s2, WM)
-        slot_s2e = lax.rem(s2, WE)
-        at_seed = (s2 == X) if X > 0 else False
-        if X > 0:
-            cur = m_win[pl.ds(slot_s2, 1)][0]
-            row_m_old = jnp.where(at_seed, cur, 0)
-            ex_m_old = jnp.where(at_seed, slot_read(m_ex, slot_s2), 0) > 0
-            lo_m_old = slot_read(m_lo, slot_s2)
-            hi_m_old = slot_read(m_hi, slot_s2)
-        else:
-            row_m_old = jnp.zeros_like(row_m)
-            ex_m_old = jnp.zeros((B_BLK, 1), bool)
-            lo_m_old = jnp.full((B_BLK, 1), _BIG, jnp.int32)
-            hi_m_old = jnp.full((B_BLK, 1), -_BIG, jnp.int32)
-        row_m_new = jnp.where(wr_m, (Msk << TYPE_BITS) | tag_m, row_m_old)
-        aux_m_new = jnp.where(wr_m, (aux_m_val << TYPE_BITS) | tag_m,
-                              row_m_old & 7)
-
-        any_i = jnp.any(wr_i, axis=1)[:, None]
-        any_d = jnp.any(wr_d, axis=1)[:, None]
-        any_m = jnp.any(wr_m, axis=1)[:, None]
-        lo_i_n = jnp.min(jnp.where(wr_i, ks, _BIG), axis=1, keepdims=True)
-        hi_i_n = jnp.max(jnp.where(wr_i, ks, -_BIG), axis=1, keepdims=True)
-        lo_d_n = jnp.min(jnp.where(wr_d, ks, _BIG), axis=1, keepdims=True)
-        hi_d_n = jnp.max(jnp.where(wr_d, ks, -_BIG), axis=1, keepdims=True)
-        lo_m_n = jnp.minimum(
-            jnp.min(jnp.where(wr_m, ks, _BIG), axis=1, keepdims=True),
-            jnp.where(ex_m_old, lo_m_old, _BIG))
-        hi_m_n = jnp.maximum(
-            jnp.max(jnp.where(wr_m, ks, -_BIG), axis=1, keepdims=True),
-            jnp.where(ex_m_old, hi_m_old, -_BIG))
-
-        frz = ~live
-        i_win[pl.ds(slot_s2e, 1)] = jnp.where(frz, 0, row_i_new)[None]
-        d_win[pl.ds(slot_s2e, 1)] = jnp.where(frz, 0, row_d_new)[None]
-        m_win[pl.ds(slot_s2, 1)] = jnp.where(
-            frz, jnp.where(at_seed, row_m_old, 0), row_m_new)[None]
-        slot_s2a = lax.rem(s2, 2)
-        ai_win[pl.ds(slot_s2a, 1)] = jnp.where(frz, 0, aux_i_new)[None]
-        ad_win[pl.ds(slot_s2a, 1)] = jnp.where(frz, 0, aux_d_new)[None]
-        am_win[pl.ds(slot_s2a, 1)] = jnp.where(
-            frz, jnp.where(at_seed, row_m_old & 7, 0), aux_m_new)[None]
-
-        i_lo = slot_write(i_lo, slot_s2e,
-                          jnp.where(frz | ~any_i, _BIG, lo_i_n))
-        i_hi = slot_write(i_hi, slot_s2e,
-                          jnp.where(frz | ~any_i, -_BIG, hi_i_n))
-        i_ex = slot_write(i_ex, slot_s2e,
-                          jnp.where(frz, 0, any_i.astype(jnp.int32)))
-        d_lo = slot_write(d_lo, slot_s2e,
-                          jnp.where(frz | ~any_d, _BIG, lo_d_n))
-        d_hi = slot_write(d_hi, slot_s2e,
-                          jnp.where(frz | ~any_d, -_BIG, hi_d_n))
-        d_ex = slot_write(d_ex, slot_s2e,
-                          jnp.where(frz, 0, any_d.astype(jnp.int32)))
-        keep_m = any_m | ex_m_old
-        m_lo = slot_write(
-            m_lo, slot_s2,
-            jnp.where(frz, jnp.where(ex_m_old, lo_m_old, _BIG),
-                      jnp.where(keep_m, lo_m_n, _BIG)))
-        m_hi = slot_write(
-            m_hi, slot_s2,
-            jnp.where(frz, jnp.where(ex_m_old, hi_m_old, -_BIG),
-                      jnp.where(keep_m, hi_m_n, -_BIG)))
-        m_ex = slot_write(
-            m_ex, slot_s2,
-            jnp.where(frz, ex_m_old.astype(jnp.int32),
-                      keep_m.astype(jnp.int32)))
-
-        return (s2, done, overflow, final_s, term_cell,
+        return (s + 1, done, overflow, final_s, term_cell,
                 m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex)
 
     def cond(carry):
@@ -595,6 +620,11 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     wlo = jnp.transpose(words[..., 1::2], (0, 2, 1))
     fsa64 = jnp.transpose(fsa[..., 1::2], (0, 2, 1))
     Lw2 = whi.shape[1]
+    # flatten to 2-D so the kernel's select chain uses cheap static lane
+    # slices (3-D ref slicing costs a relayout per load)
+    whi = whi.reshape(B, Lw2 * K)
+    wlo = wlo.reshape(B, Lw2 * K)
+    fsa64 = fsa64.reshape(B, Lw2 * K)
 
     (row0, lo0, hi0, ex0), (rowx, lox, hix, exx) = _seed_rows(
         qb, tbuf, qlen, tlen, toff,
@@ -616,9 +646,9 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         params = jnp.concatenate(
             [params, jnp.tile(params[:1], (pad, 1))
              .at[:, 4].set(1)], axis=0)
-        whi = jnp.concatenate([whi, jnp.tile(whi[:1], (pad, 1, 1))], 0)
-        wlo = jnp.concatenate([wlo, jnp.tile(wlo[:1], (pad, 1, 1))], 0)
-        fsa64 = jnp.concatenate([fsa64, jnp.tile(fsa64[:1], (pad, 1, 1))], 0)
+        whi = jnp.concatenate([whi, jnp.tile(whi[:1], (pad, 1))], 0)
+        wlo = jnp.concatenate([wlo, jnp.tile(wlo[:1], (pad, 1))], 0)
+        fsa64 = jnp.concatenate([fsa64, jnp.tile(fsa64[:1], (pad, 1))], 0)
         row0 = jnp.concatenate([row0, jnp.zeros((pad, K), jnp.int32)], 0)
         rowx = jnp.concatenate([rowx, jnp.zeros((pad, K), jnp.int32)], 0)
 
@@ -641,11 +671,11 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         in_specs=[
             pl.BlockSpec((B_BLK, _NP), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_BLK, Lw2, K), lambda b: (b, 0, 0),
+            pl.BlockSpec((B_BLK, Lw2 * K), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_BLK, Lw2, K), lambda b: (b, 0, 0),
+            pl.BlockSpec((B_BLK, Lw2 * K), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_BLK, Lw2, K), lambda b: (b, 0, 0),
+            pl.BlockSpec((B_BLK, Lw2 * K), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B_BLK, K), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
