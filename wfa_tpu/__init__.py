@@ -35,6 +35,25 @@ from .oracle import align as oracle_align
 
 __version__ = "0.1.0"
 
+
+# -- recycling API parity --------------------------------------------------
+# The reference exposes sync.Pool-based object recycling as part of its API
+# contract (README.md:82-84, 207-214; wfa.go:102, wfa_cigar.go:92).  The
+# TPU framework's state is functional/preallocated, so recycling is a
+# no-op — these exist so reference callers can port code unchanged.
+
+def recycle_aligner(aligner) -> None:
+    """No-op (RecycleAligner, wfa.go:102): nothing to pool here."""
+
+
+def recycle_alignment_result(result) -> None:
+    """No-op (RecycleAlignmentResult, wfa_cigar.go:92)."""
+
+
+def recycle_alignment_text(q, a, t) -> None:
+    """No-op (RecycleAlignmentText, wfa_cigar.go:347)."""
+
+
 __all__ = [
     "AlignmentResult",
     "AdaptiveReductionOption",
@@ -48,4 +67,7 @@ __all__ = [
     "Penalties",
     "SeqTooLongError",
     "oracle_align",
+    "recycle_aligner",
+    "recycle_alignment_result",
+    "recycle_alignment_text",
 ]

@@ -106,6 +106,17 @@ class WaveFront:
         elif k == self.lo:
             self.lo += 1
 
+    def __str__(self) -> str:
+        """List all offsets (wfa_wavefront.go:186-198)."""
+        from .constants import type2str
+
+        parts = [f"k range: [{self.lo}, {self.hi}]."]
+        for k in range(self.lo, self.hi + 1):
+            offset, tag, ok = self.get(k)
+            if ok:
+                parts.append(f" k({k}):{offset}({type2str(tag)})")
+        return "".join(parts)
+
 
 class Component:
     """Score-indexed collection of wavefronts (wfa_component.go:37-41)."""
@@ -174,6 +185,19 @@ class Component:
         wf = self.wavefronts.get(s)
         if wf is not None:
             wf.delete(k)
+
+    def print(self, wtr, name: str) -> None:
+        """List all offsets for all scores (wfa_component.go:190-208)."""
+        from .constants import type2str
+
+        for s in sorted(self.wavefronts):
+            wf = self.wavefronts[s]
+            wtr.write(f"{name}{s}: k[{wf.lo}, {wf.hi}]: ")
+            for k in range(wf.lo, wf.hi + 1):
+                offset, tag, ok = wf.get(k)
+                if ok:
+                    wtr.write(f" k({k}):{offset}({type2str(tag)})")
+            wtr.write("\n")
 
 
 class Aligner:
@@ -446,6 +470,15 @@ class Aligner:
             self.M, self.I, self.D, self.p, self.opt.global_alignment,
             q, t, s, Ak,
         )
+
+    def plot(self, q: bytes, t: bytes, component=None,
+             not_change_to_match: bool = False, max_score: int = -1) -> str:
+        """Render a component's wavefronts as the reference's score/arrow
+        table ((*Aligner).Plot, wfa_component_plot.go:41); call after
+        :meth:`align` on the same pair."""
+        from .plot import plot as _plot
+
+        return _plot(self, q, t, component, not_change_to_match, max_score)
 
 
 def align(
