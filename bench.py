@@ -18,40 +18,52 @@ import os
 import sys
 import time
 
-N_PAIRS = int(os.environ.get("WFA_BENCH_PAIRS", "8192"))
+N_PAIRS = int(os.environ.get("WFA_BENCH_PAIRS", "16384"))
 LENGTH = int(os.environ.get("WFA_BENCH_LEN", "1000"))
 ERROR_RATE = float(os.environ.get("WFA_BENCH_ERR", "0.05"))
 BASELINE_ALN_S = 6483.0  # wfa-go, l=1000 e=0.05 (benchmark.tsv:4)
 
 
+def _run(pipe, n, length, err):
+    from wfa_tpu.datagen import generate_pairs
+
+    pairs = generate_pairs(n, length, err, seed=42)
+    pipe.align_all(pairs[: min(64, n)])  # warm/compile
+    t0 = time.perf_counter()
+    results = pipe.align_all(pairs)
+    elapsed = time.perf_counter() - t0
+    assert len(results) == n and all(r is not None for r in results)
+    return n / elapsed, elapsed, results[0]
+
+
 def main() -> None:
     from wfa_tpu import AdaptiveReductionOption, Options, Penalties
-    from wfa_tpu.datagen import generate_pairs
     from wfa_tpu.pipeline import AlignmentPipeline, PipelineConfig
-
-    pairs = generate_pairs(N_PAIRS, LENGTH, ERROR_RATE, seed=42)
 
     cfg = PipelineConfig(
         penalties=Penalties(4, 6, 2),
         options=Options(global_alignment=True),
         adaptive=AdaptiveReductionOption(10, 50, 1),
-        batch_size=int(os.environ.get("WFA_BENCH_BATCH", "512")),
+        batch_size=int(os.environ.get("WFA_BENCH_BATCH", "2048")),
     )
     pipe = AlignmentPipeline(cfg)
 
-    # warmup: compile every engine config this workload will touch
-    warm = pairs[: min(32, len(pairs))]
-    pipe.align_all(warm)
+    if os.environ.get("WFA_BENCH_MATRIX"):
+        # the reference's full matrix (benchmark.tsv); Go aln/s derived
+        # from its recorded times (n / time)
+        rows = [
+            (1000, 0.05, 6484), (1000, 0.10, 2393), (1000, 0.20, 904),
+            (50000, 0.05, 81.9), (50000, 0.10, 27.9), (50000, 0.20, 10.4),
+        ]
+        for length, err, go in rows:
+            n = 16384 if length <= 1000 else 64
+            aln_s, elapsed, _ = _run(pipe, n, length, err)
+            print(f"# l={length} e={err}: {aln_s:.1f} aln/s "
+                  f"(Go {go}; {aln_s / go:.1f}x) n={n} {elapsed:.2f}s",
+                  file=sys.stderr)
+        return
 
-    t0 = time.perf_counter()
-    results = pipe.align_all(pairs)
-    elapsed = time.perf_counter() - t0
-
-    assert len(results) == N_PAIRS and all(r is not None for r in results)
-    # sanity: every CIGAR consumes both sequences fully
-    r0 = results[0]
-    aln_s = N_PAIRS / elapsed
-
+    aln_s, elapsed, r0 = _run(pipe, N_PAIRS, LENGTH, ERROR_RATE)
     print(
         json.dumps(
             {

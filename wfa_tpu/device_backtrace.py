@@ -9,7 +9,7 @@ from the HBM-resident *backtrace-aux* tensor, and emitting
 (op, run-length) tokens into dense per-iteration buffer slots (no
 scatters).  Only those token buffers (~KB/pair) ever leave the device.
 
-Layout: the aux tensor is ``int32[S, B, 3, K]`` (components M=0, I=1,
+Layout: the aux tensor is ``int32[3, S, B, K]`` (components M=0, I=1,
 D=2) with a fixed per-pair window origin ``k0[b]`` (column j holds
 diagonal ``k0 + j`` at every score).  Each aux cell packs
 ``offset0 << 3 | tag`` (0 = absent): the cell's stored tag plus the
@@ -177,11 +177,11 @@ def device_stats(tok0, buf, tail, token_shift: int = 28):
 def device_backtrace(
     aux, start_cell, k0, start_s, start_k, qlen, tlen, active0,
     *, penalties, global_alignment: bool, S: int, K: int,
-    token_shift: int = 28,
+    token_shift: int = 28, b_stride: int = 0,
 ):
     """Exact device port of the backtrace loop (wfa.go:703-983).
 
-    ``aux`` is the combined int32[S, B, 3, K] backtrace-aux tensor: per
+    ``aux`` is the combined int32[3, S, B, K] backtrace-aux tensor: per
     cell ``offset0 << 3 | tag`` where offset0 is the branch-selected
     pre-extension offset the reference recomputes at that cell
     (wfa.go:757-827) — baked by the forward pass, making each chase step
@@ -207,7 +207,10 @@ def device_backtrace(
     def _pack(code, n):
         return (code << token_shift) | n
 
-    flat = aux.reshape(S * B * 3 * K)
+    Bs = b_stride or B  # aux batch stride (padded to a block multiple)
+    # leading-dims-only reshape: stays a view of the tiled [.., K] layout
+    # (a full 1-D flatten would force a multi-GB retiling copy)
+    flat = aux.reshape(3 * S * Bs, K)
     bidx = jnp.arange(B, dtype=jnp.int32)
     code_tab = jnp.asarray(_TAG2CODE)
 
@@ -218,8 +221,8 @@ def device_backtrace(
         ok = (s >= 0) & (s < S) & (j >= 0) & (j < K)
         sc = jnp.clip(s, 0, S - 1)
         jc = jnp.clip(j, 0, K - 1)
-        idx = ((sc * B + bidx) * 3 + comp) * K + jc
-        cell = jnp.take(flat, idx)
+        row = (comp * S + sc) * Bs + bidx
+        cell = flat[row, jc]
         found = ok & (cell > 0)
         cell = jnp.where(found, cell, 0)
         return cell >> TYPE_BITS, cell & ((1 << TYPE_BITS) - 1), found

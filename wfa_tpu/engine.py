@@ -89,6 +89,13 @@ class EngineConfig:
     adaptive: Optional[AdaptiveReductionOption] = None
     k_win: int = 128  # diagonal window width (multiple of 128 preferred)
     s_cap: int = 256  # max score + 1
+    # stop-table read window (32-bit words) per extension step; None reads
+    # the whole table.  For long sequences the full table is too large to
+    # stream every step — a window anchored at the batch's minimum live
+    # word covers it (offsets advance monotonically and pairs in a
+    # length-bucketed batch progress together); pairs that outrun the
+    # window are marked overflow and retried wider.
+    w_win: Optional[int] = None
 
 
 def window_origin(qlen: int, tlen: int, k_win: int, global_alignment: bool) -> int:
@@ -308,6 +315,7 @@ def _run_batch_impl(
     reduce_on = cfg.adaptive is not None
     min_wf_len = np.int32(cfg.adaptive.min_wf_len if reduce_on else 0)
     max_dist_diff = np.int32(cfg.adaptive.max_dist_diff if reduce_on else 0)
+    w_win = cfg.w_win
 
     qlen = qlen.astype(jnp.int32)
     tlen = tlen.astype(jnp.int32)
@@ -431,10 +439,28 @@ def _run_batch_impl(
         # LCP via the precomputed stop tables: one masked pass over the
         # word axis — no gathers, no data-dependent loop (wfa.go:411-454).
         c0 = h0 + toff[:, None]  # [B, K] column of the next compare
-        w0 = jnp.clip(c0 >> 5, 0, Lw - 1)[..., None]
-        sel0 = iw == w0
-        word0 = jnp.sum(jnp.where(sel0, stop_words, 0), axis=-1)
-        fsa0 = jnp.min(jnp.where(sel0, stop_fsa, _BIG), axis=-1)
+        w0f = jnp.clip(c0 >> 5, 0, Lw - 1)
+        w0 = w0f[..., None]
+        overflow = st.overflow
+        if w_win is None or w_win >= Lw:
+            sel0 = iw == w0
+            word0 = jnp.sum(jnp.where(sel0, stop_words, 0), axis=-1)
+            fsa0 = jnp.min(jnp.where(sel0, stop_fsa, _BIG), axis=-1)
+        else:
+            # windowed table read anchored at the batch's minimum live word
+            wlo = jnp.min(jnp.where(act0, w0f, Lw))
+            wlo = jnp.clip(wlo, 0, Lw - w_win)
+            words_w = lax.dynamic_slice(
+                stop_words, (0, 0, wlo), (B, K, w_win))
+            fsa_w = lax.dynamic_slice(stop_fsa, (0, 0, wlo), (B, K, w_win))
+            iw_w = wlo + jnp.arange(w_win, dtype=jnp.int32)[None, None, :]
+            sel0 = iw_w == w0
+            word0 = jnp.sum(jnp.where(sel0, words_w, 0), axis=-1)
+            fsa0 = jnp.min(jnp.where(sel0, fsa_w, _BIG), axis=-1)
+            outrun = act0 & (w0f >= wlo + w_win)
+            ovr = jnp.any(outrun, axis=1)
+            overflow = overflow | ovr
+            act0 = act0 & ~outrun
         vis = word0 << (c0 & 31)  # bit of c0 now at bit 31
         n_ext = jnp.where(vis != 0, lax.clz(vis), fsa0 - c0)
         n_ext = jnp.where(act0, n_ext, 0)
@@ -547,7 +573,7 @@ def _run_batch_impl(
         )
 
         # the fixed window must hold the new band
-        overflow = st.overflow | (
+        overflow = overflow | (
             (~done) & ((lo_n < k0) | (hi_n >= k0 + K))
         )
         live = ((~done) & (~overflow))[:, None]
@@ -759,10 +785,11 @@ def _align_full_impl(
     if engine == "pallas":
         from .pallas_engine import pallas_run_batch
 
-        final_s, done, overflow, start_cell, aux = pallas_run_batch(
-            qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb,
-            interpret=jax.default_backend() == "cpu",
-        )
+        final_s, done, overflow, start_cell, aux, b_stride = (
+            pallas_run_batch(
+                qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb,
+                interpret=jax.default_backend() == "cpu",
+            ))
         qlen = qlen.astype(jnp.int32)
         tlen = tlen.astype(jnp.int32)
         start_s, start_k = final_s, tlen - qlen  # pallas path is global
@@ -770,7 +797,8 @@ def _align_full_impl(
         st = _run_batch_impl(
             qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb
         )
-        aux = jnp.stack([st.aux_m, st.aux_i, st.aux_d], axis=2)
+        aux = jnp.stack([st.aux_m, st.aux_i, st.aux_d], axis=0)
+        b_stride = B
         final_s, done, overflow = st.final_s, st.done, st.overflow
         qlen = qlen.astype(jnp.int32)
         tlen = tlen.astype(jnp.int32)
@@ -795,7 +823,7 @@ def _align_full_impl(
         aux, start_cell, k0, start_s, start_k, qlen, tlen, active0,
         penalties=cfg.penalties,
         global_alignment=cfg.global_alignment,
-        S=S, K=K, token_shift=token_shift,
+        S=S, K=K, token_shift=token_shift, b_stride=b_stride,
     )
     align_len, matches, gaps, gap_regions = device_stats(
         tok0, buf, tail, token_shift)
@@ -838,6 +866,7 @@ class BatchAligner:
         k_win: int = 128,
         s_cap: int = 256,
         engine: str = "auto",
+        w_win: Optional[int] = None,
     ) -> None:
         self.cfg = EngineConfig(
             penalties=penalties,
@@ -845,6 +874,7 @@ class BatchAligner:
             adaptive=adaptive,
             k_win=k_win,
             s_cap=s_cap,
+            w_win=w_win,
         )
         if engine == "auto":
             # fused Pallas kernel on real accelerators when the config
@@ -928,10 +958,16 @@ class BatchAligner:
         """
         B = len(pairs)
         qb, tbuf, qlen, tlen, toff, Lq, Ltb = self.pack_batch(pairs)
+        engine = self.engine
+        if engine == "pallas":
+            from .pallas_engine import supports
+
+            if not supports(self.cfg, Ltb):  # length-dependent VMEM gate
+                engine = "jax"
         out = _align_full(
             jnp.asarray(qb), jnp.asarray(tbuf),
             jnp.asarray(qlen), jnp.asarray(tlen), jnp.asarray(toff),
-            cfg=self.cfg, B=B, Lq=Lq, Ltb=Ltb, engine=self.engine,
+            cfg=self.cfg, B=B, Lq=Lq, Ltb=Ltb, engine=engine,
         )
         # queue device->host copies now so they overlap the next batch's
         # compute instead of serializing at fetch time

@@ -60,7 +60,10 @@ _NP = 16  # packed per-pair parameter columns
 
 
 def supports(cfg: EngineConfig, Ltb: int) -> bool:
-    """Whether the fused kernel handles this config (else JAX fallback)."""
+    """Whether the fused kernel handles this config (else JAX fallback).
+
+    ``Ltb`` is the padded target-buffer length (0 = unknown: check only
+    the length-independent constraints)."""
     p = cfg.penalties
     wm = max(p.mismatch, p.gap_open + p.gap_ext) + 1
     if wm > 64 or p.gap_ext + 1 > 64:
@@ -71,6 +74,8 @@ def supports(cfg: EngineConfig, Ltb: int) -> bool:
         return False  # the end finder needs the raw history
     if cfg.s_cap % CH != 0:
         return False
+    # any length is fine: when the stop tables outgrow VMEM the kernel
+    # streams a sliding window of them from HBM
     return True
 
 
@@ -82,9 +87,12 @@ def _kernel(
     params_ref, whi_ref, wlo_ref, fsa_ref, seed0_ref, seedx_ref,
     out_ref, aux_ref,
     m_win, i_win, d_win, am_win, ai_win, ad_win,
-    ob_m, ob_i, ob_d, sem,
-    *, S, K, Lw2, X, OE, E, GLOBAL, REDUCE_ON, MIN_WF_LEN, MAX_DIST_DIFF,
+    ob_m, ob_i, ob_d, sem, twhi, twlo, tfsa, tsem,
+    *, S, K, Lw2, WV, X, OE, E, GLOBAL, REDUCE_ON, MIN_WF_LEN,
+    MAX_DIST_DIFF,
 ):
+    STREAM = Lw2 > WV  # stop tables stay in HBM; a WV-group window
+    # slides through VMEM as the block's offsets advance
     WM = max(X, OE) + 1
     WE = E + 1
     WB = 64  # band-slot lanes (>= WM, WE)
@@ -178,12 +186,20 @@ def _kernel(
 
     def hist_dma(comp, ob, c):
         # destination: component plane `comp` of the combined backtrace
-        # aux tensor int32[S, B, 3, K] (offset0 << 3 | tag per cell)
+        # aux tensor int32[3, S, B, K] (offset0 << 3 | tag per cell;
+        # plane-major so each DMA row is contiguous)
         slot = lax.rem(c, 2)
         return pltpu.make_async_copy(
             ob.at[slot],
-            aux_ref.at[pl.ds(c * CH, CH), pl.ds(blk * B_BLK, B_BLK), comp],
+            aux_ref.at[comp, pl.ds(c * CH, CH), pl.ds(blk * B_BLK, B_BLK)],
             sem.at[slot, comp],
+        )
+
+    def table_dma(idx, src_ref, dst_ref, base):
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(blk * B_BLK, B_BLK), pl.ds(base * K, WV * K)],
+            dst_ref,
+            tsem.at[idx],
         )
 
     def delete_range_asc(dl, dh, lo, hi):
@@ -376,7 +392,7 @@ def _kernel(
                           d_lo, d_hi, d_ex)
 
     def body(carry):
-        (s, done, overflow, final_s, term_cell,
+        (s, done, overflow, final_s, term_cell, wbase,
          m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex) = carry
 
         live0 = (done == 0) & (overflow == 0)  # [B_BLK, 1]
@@ -418,11 +434,43 @@ def _kernel(
         word_hi = jnp.zeros((B_BLK, K), jnp.int32)
         word_lo = jnp.zeros((B_BLK, K), jnp.int32)
         fsa0 = jnp.full((B_BLK, K), _BIG, jnp.int32)
-        for w in range(Lw2):
-            m = w2 == w
-            word_hi = jnp.where(m, whi_ref[:, w * K:(w + 1) * K], word_hi)
-            word_lo = jnp.where(m, wlo_ref[:, w * K:(w + 1) * K], word_lo)
-            fsa0 = jnp.where(m, fsa_ref[:, w * K:(w + 1) * K], fsa0)
+        if not STREAM:
+            for w in range(Lw2):
+                m = w2 == w
+                word_hi = jnp.where(m, whi_ref[:, w * K:(w + 1) * K],
+                                    word_hi)
+                word_lo = jnp.where(m, wlo_ref[:, w * K:(w + 1) * K],
+                                    word_lo)
+                fsa0 = jnp.where(m, fsa_ref[:, w * K:(w + 1) * K], fsa0)
+        else:
+            # slide the VMEM window when any live lane leaves it; offsets
+            # only grow, so the window base is monotone.  Pairs whose
+            # spread exceeds the window are marked overflow and excluded.
+            wmax = jnp.max(jnp.where(act0, w2, -1))
+            wmin = jnp.clip(jnp.min(jnp.where(act0, w2, Lw2)),
+                            0, Lw2 - WV)
+            refill = wmax >= wbase + WV
+
+            @pl.when(refill)
+            def _():
+                table_dma(0, whi_ref, twhi, wmin).start()
+                table_dma(1, wlo_ref, twlo, wmin).start()
+                table_dma(2, fsa_ref, tfsa, wmin).start()
+                table_dma(0, whi_ref, twhi, wmin).wait()
+                table_dma(1, wlo_ref, twlo, wmin).wait()
+                table_dma(2, fsa_ref, tfsa, wmin).wait()
+
+            wbase = jnp.where(refill, wmin, wbase)
+            wbase_n = wbase
+            outrun = act0 & (w2 >= wbase_n + WV)
+            overflow = jnp.where(
+                jnp.any(outrun, axis=1)[:, None] & live0, 1, overflow)
+            act0 = act0 & ~outrun
+            for j in range(WV):
+                m = w2 == wbase_n + j
+                word_hi = jnp.where(m, twhi[:, j * K:(j + 1) * K], word_hi)
+                word_lo = jnp.where(m, twlo[:, j * K:(j + 1) * K], word_lo)
+                fsa0 = jnp.where(m, tfsa[:, j * K:(j + 1) * K], fsa0)
         r = c0 & 63
         rl = jnp.maximum(r - 32, 0)  # clamped: unused branch must not trap
         rr = jnp.clip(32 - r, 0, 31)
@@ -540,7 +588,7 @@ def _kernel(
             overflow, bands = run_next(s, done, overflow, live, bands)
             (m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex) = bands
 
-        return (s + 1, done, overflow, final_s, term_cell,
+        return (s + 1, done, overflow, final_s, term_cell, wbase,
                 m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex)
 
     def cond(carry):
@@ -549,7 +597,7 @@ def _kernel(
         return (s < S - 1) & jnp.any((done == 0) & (overflow == 0))
 
     z1 = jnp.zeros((B_BLK, 1), jnp.int32)
-    carry = (jnp.int32(0), z1, ovf0, z1, z1,
+    carry = (jnp.int32(0), z1, ovf0, z1, z1, jnp.int32(-WV),
              m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex)
     carry = lax.while_loop(cond, body, carry)
     s_exit, done, overflow, final_s, term_cell = carry[:5]
@@ -583,9 +631,10 @@ def _kernel(
 
 
 def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
-                     B: int, Lq: int, Ltb: int, interpret: bool = False):
+                     B: int, Lq: int, Ltb: int, interpret: bool = False,
+                     wv: int = 0):
     """Run the fused score-loop kernel; returns
-    (final_s, done, overflow, term_cell, aux[S, B, 3, K]) for B pairs.
+    (final_s, done, overflow, term_cell, aux[3, S, B, K]) for B pairs.
 
     ``aux`` holds, per cell, the backtrace's branch-selected
     pre-extension offset and the cell tag (``offset0 << 3 | tag``, 0 =
@@ -654,8 +703,12 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
 
     WM = max(p.mismatch, p.gap_open + p.gap_ext) + 1
     WE = p.gap_ext + 1
+    if wv <= 0:  # table window sized to a ~7MB VMEM budget
+        wv = min(64, max(16, (7 << 20) // (3 * B_BLK * K * 4)))
+    WV = wv
+    stream = Lw2 > WV
     kern = functools.partial(
-        _kernel, S=S, K=K, Lw2=Lw2,
+        _kernel, S=S, K=K, Lw2=Lw2, WV=WV,
         X=int(p.mismatch), OE=int(p.gap_open + p.gap_ext),
         E=int(p.gap_ext),
         GLOBAL=cfg.global_alignment,
@@ -663,6 +716,15 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         MIN_WF_LEN=int(cfg.adaptive.min_wf_len) if cfg.adaptive else 0,
         MAX_DIST_DIFF=int(cfg.adaptive.max_dist_diff) if cfg.adaptive else 0,
     )
+    table_space = pltpu.ANY if stream else pltpu.VMEM
+    if stream:
+        table_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+    else:
+        table_specs = [
+            pl.BlockSpec((B_BLK, Lw2 * K), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3
+    twv = WV if stream else 1
 
     nblk = Bp // B_BLK
     out, aux = pl.pallas_call(
@@ -671,12 +733,7 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         in_specs=[
             pl.BlockSpec((B_BLK, _NP), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_BLK, Lw2 * K), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_BLK, Lw2 * K), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_BLK, Lw2 * K), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
+        ] + table_specs + [
             pl.BlockSpec((B_BLK, K), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B_BLK, K), lambda b: (b, 0),
@@ -689,7 +746,7 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, 8), jnp.int32),
-            jax.ShapeDtypeStruct((S, Bp, 3, K), jnp.int32),
+            jax.ShapeDtypeStruct((3, S, Bp, K), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((WM, B_BLK, K), jnp.int32),
@@ -702,6 +759,10 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
             pltpu.VMEM((2, CH, B_BLK, K), jnp.int32),
             pltpu.VMEM((2, CH, B_BLK, K), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((B_BLK, twv * K), jnp.int32),
+            pltpu.VMEM((B_BLK, twv * K), jnp.int32),
+            pltpu.VMEM((B_BLK, twv * K), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -711,4 +772,6 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     done = out[:B, 1] > 0
     overflow = out[:B, 2] > 0
     term_cell = out[:B, 4]
-    return final_s, done, overflow, term_cell, aux[:, :B]
+    # aux stays padded to the block multiple — slicing would copy GBs;
+    # the backtrace takes the padded batch stride instead
+    return final_s, done, overflow, term_cell, aux, Bp

@@ -35,6 +35,9 @@ class PipelineConfig:
     # base score cap per unit of sequence length (tier 1); tier 2 multiplies
     s_cap_base: int = 256
     k_win_base: int = 128
+    # HBM budget for one in-flight batch's wavefront/aux tensors; bounds
+    # the batch size for long sequences (S grows with length)
+    hbm_budget: int = 6 << 30
 
 
 class AlignmentPipeline:
@@ -47,43 +50,78 @@ class AlignmentPipeline:
 
     # -- window/cap policy ---------------------------------------------------
 
-    def _tier_caps(self, lq: int, lt: int, tier: int) -> Tuple[int, int]:
-        """(k_win, s_cap) for a length class at a retry tier."""
+    def _tier_caps(self, lq: int, lt: int, tier: int):
+        """(k_win, s_cap, w_win, batch_cap, engine) for a class/tier."""
         cfg = self.cfg
         full_span = _round_up(lq + lt - 1 + 2, 128)
+        longest = max(lq, lt)
         if not cfg.options.global_alignment:
             # semi-global seeds span the full diagonal range
             k_win = full_span
         elif cfg.adaptive is not None:
-            # wf-adaptive trims the band to ~2*max_dist_diff; measured
-            # whole-run diagonal extents stay within ~2*(max_dist_diff+2)
-            # even at 20% error, so tier 0 runs the tight window and the
-            # rare escapees retry wider
+            # wf-adaptive trims the band to ~2*max_dist_diff around the
+            # optimal path, whose diagonal drifts like a random walk —
+            # measured whole-run extents: <=104 at l=1k, <=257 at l=50k
+            # (20% error).  Tier 0 runs the tight window; escapees retry.
             band = 2 * (cfg.adaptive.max_dist_diff + 2)
-            k_win = min(full_span, _round_up(max(cfg.k_win_base, band), 128))
-            if tier == 1:
-                k_win = min(full_span, 4 * k_win)
-            elif tier >= 2:
-                k_win = full_span
+            drift = int(0.75 * longest ** 0.5)
+            k_win = min(full_span,
+                        _round_up(max(cfg.k_win_base, band + drift), 128))
+            if longest <= 4096:
+                if tier == 1:
+                    k_win = min(full_span, 4 * k_win)
+                elif tier >= 2:
+                    k_win = full_span
+            # long sequences keep the tier-0 window: the optimal path's
+            # diagonal drifts like a random walk (measured extent <= 257
+            # at l=50k, e=0.2), and tier-0 escapes are usually streaming-
+            # window outruns that resolve when the escapees regroup
         else:
             k_win = full_span
-        longest = max(lq, lt)
-        s1 = max(cfg.s_cap_base, _round_up(longest // 2, 128))
-        if tier == 0:
-            s_cap = s1
+        # score ladder: ~0.29*l at 5% error, ~0.53*l at 10%, ~0.92*l at
+        # 20% — tier 0 covers the common case, tier 1 heavy error rates
+        worst = (
+            cfg.penalties.mismatch * longest
+            + cfg.penalties.gap_open
+            + cfg.penalties.gap_ext * (abs(lq - lt) + 1)
+            + 2
+        )
+        s1 = max(cfg.s_cap_base, _round_up(int(longest * 0.35), 128))
+        s_cap = (s1, 3 * s1, _round_up(worst + 2, 8))[min(tier, 2)]
+        s_cap = min(s_cap, _round_up(worst + 2, 8))
+        # a single batch's aux tensors must stay well under HBM even at
+        # the 32-pair block minimum (S rows cost 3 planes * 32 * K * 4B)
+        s_mem_max = (10 << 30) // (3 * 32 * k_win * 4)
+        s_cap = min(s_cap, _round_up(s_mem_max, 8) - 8)
+        # long sequences: the Pallas kernel streams its own table
+        # window; the JAX fallback (forced at the last tier so pairs that
+        # outrun the streaming window still finish on device) reads a
+        # w_win-word slice per step
+        engine = "auto"
+        if longest <= 4096:
+            w_win = None
         else:
-            # worst case: every base mismatches plus one gap run
-            worst = (
-                cfg.penalties.mismatch * longest
-                + cfg.penalties.gap_open
-                + cfg.penalties.gap_ext * (abs(lq - lt) + 1)
-                + 2
-            )
-            s_cap = min(4 * s1 if tier == 1 else worst + 2, worst + 2)
-        return k_win, s_cap
+            w_win = (128, 256, 512)[min(tier, 2)]
+            if tier >= 2:
+                engine = "jax"
+        # bound the batch so one batch's device tensors fit the HBM budget
+        lw = (lq + lt) // 32 + 8
+        pallas_likely = (cfg.options.global_alignment and engine != "jax"
+                         and k_win <= 512)
+        mult = 16 if pallas_likely else 26
+        per_pair = s_cap * k_win * mult + k_win * lw * 8
+        b_cap = max(4, min(8192, int(cfg.hbm_budget // max(per_pair, 1))))
+        if b_cap >= 32:
+            b_cap -= b_cap % 32  # keep batches a whole number of blocks
+        # device footprint of one batch (pallas pads to 32-pair blocks);
+        # big batches must run serially — overlapping them risks HBM OOM
+        eff_b = max(b_cap, 32) if pallas_likely else b_cap
+        batch_bytes = per_pair * eff_b
+        serial = batch_bytes > (2 << 30)
+        return k_win, s_cap, w_win, b_cap, engine, serial
 
-    def _engine(self, k_win: int, s_cap: int) -> BatchAligner:
-        key = (k_win, s_cap)
+    def _engine(self, k_win: int, s_cap: int, w_win, engine) -> BatchAligner:
+        key = (k_win, s_cap, w_win, engine)
         eng = self._engines.get(key)
         if eng is None:
             eng = BatchAligner(
@@ -92,6 +130,8 @@ class AlignmentPipeline:
                 self.cfg.adaptive,
                 k_win=k_win,
                 s_cap=s_cap,
+                w_win=w_win,
+                engine=engine,
             )
             self._engines[key] = eng
         return eng
@@ -117,16 +157,25 @@ class AlignmentPipeline:
             for (lq_c, lt_c), items in pending.items():
                 if not items:
                     continue
-                k_win, s_cap = self._tier_caps(lq_c, lt_c, tier)
-                eng = self._engine(k_win, s_cap)
-                bs = self.cfg.batch_size
+                k_win, s_cap, w_win, b_cap, engine, serial = (
+                    self._tier_caps(lq_c, lt_c, tier))
+                eng = self._engine(k_win, s_cap, w_win, engine)
+                bs = min(self.cfg.batch_size, b_cap)
                 for start in range(0, len(items), bs):
                     chunk = items[start : start + bs]
                     handle = eng.submit_batch([p for _, p in chunk])
-                    inflight.append(((lq_c, lt_c), eng, chunk, handle))
+                    if serial:  # drain before submitting the next batch
+                        inflight.append(
+                            ((lq_c, lt_c), eng, chunk,
+                             eng.finish_batch(handle, fallback=False)))
+                    else:
+                        inflight.append(((lq_c, lt_c), eng, chunk, handle))
             nxt = {key: [] for key in pending}
             for key, eng, chunk, handle in inflight:
-                out = eng.finish_batch(handle, fallback=False)
+                if isinstance(handle, list):
+                    out = handle  # already finished (serial big batch)
+                else:
+                    out = eng.finish_batch(handle, fallback=False)
                 for (idx, pair), res in zip(chunk, out):
                     if res is None:
                         nxt[key].append((idx, pair))
