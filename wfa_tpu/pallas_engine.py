@@ -218,6 +218,26 @@ def _kernel(
         z_hi = jnp.where(nonempty, z_hi, 0)
         return new_lo, new_hi, z_lo, z_hi
 
+
+    def select_chain(n, load_hi, load_lo, load_fsa, w2, base=None):
+        """One-hot select over n word groups, split into 4 independent
+        sub-chains so the accumulator dependency depth is ~n/4 (the body
+        is latency-bound); one-hot partials merge with | / min."""
+        hi = [jnp.zeros((B_BLK, K), jnp.int32) for _ in range(4)]
+        lo = [jnp.zeros((B_BLK, K), jnp.int32) for _ in range(4)]
+        fs = [jnp.full((B_BLK, K), _BIG, jnp.int32) for _ in range(4)]
+        for w in range(n):
+            c = w & 3
+            m = w2 == (w if base is None else base + w)
+            hi[c] = jnp.where(m, load_hi(w), hi[c])
+            lo[c] = jnp.where(m, load_lo(w), lo[c])
+            fs[c] = jnp.where(m, load_fsa(w), fs[c])
+        word_hi = (hi[0] | hi[1]) | (hi[2] | hi[3])
+        word_lo = (lo[0] | lo[1]) | (lo[2] | lo[3])
+        fsa0 = jnp.minimum(jnp.minimum(fs[0], fs[1]),
+                           jnp.minimum(fs[2], fs[3]))
+        return word_hi, word_lo, fsa0
+
     # ---------------- the score loop ----------------
     # With x >= 2, e >= 2 and o+e >= 2, next(s+1) reads only rows/bands
     # older than anything extend/reduce(s) writes (all its source slots
@@ -431,17 +451,13 @@ def _kernel(
         act0 = valid & (v0 > 0) & (v0 < qlen) & (h0 < tlen)
         c0 = h0 + toff
         w2 = jnp.clip(c0 >> 6, 0, Lw2 - 1)
-        word_hi = jnp.zeros((B_BLK, K), jnp.int32)
-        word_lo = jnp.zeros((B_BLK, K), jnp.int32)
-        fsa0 = jnp.full((B_BLK, K), _BIG, jnp.int32)
         if not STREAM:
-            for w in range(Lw2):
-                m = w2 == w
-                word_hi = jnp.where(m, whi_ref[:, w * K:(w + 1) * K],
-                                    word_hi)
-                word_lo = jnp.where(m, wlo_ref[:, w * K:(w + 1) * K],
-                                    word_lo)
-                fsa0 = jnp.where(m, fsa_ref[:, w * K:(w + 1) * K], fsa0)
+            word_hi, word_lo, fsa0 = select_chain(
+                Lw2,
+                lambda w: whi_ref[:, w * K:(w + 1) * K],
+                lambda w: wlo_ref[:, w * K:(w + 1) * K],
+                lambda w: fsa_ref[:, w * K:(w + 1) * K],
+                w2)
         else:
             # slide the VMEM window when any live lane leaves it; offsets
             # only grow, so the window base is monotone.  Pairs whose
@@ -466,11 +482,12 @@ def _kernel(
             overflow = jnp.where(
                 jnp.any(outrun, axis=1)[:, None] & live0, 1, overflow)
             act0 = act0 & ~outrun
-            for j in range(WV):
-                m = w2 == wbase_n + j
-                word_hi = jnp.where(m, twhi[:, j * K:(j + 1) * K], word_hi)
-                word_lo = jnp.where(m, twlo[:, j * K:(j + 1) * K], word_lo)
-                fsa0 = jnp.where(m, tfsa[:, j * K:(j + 1) * K], fsa0)
+            word_hi, word_lo, fsa0 = select_chain(
+                WV,
+                lambda j: twhi[:, j * K:(j + 1) * K],
+                lambda j: twlo[:, j * K:(j + 1) * K],
+                lambda j: tfsa[:, j * K:(j + 1) * K],
+                w2, base=wbase_n)
         r = c0 & 63
         rl = jnp.maximum(r - 32, 0)  # clamped: unused branch must not trap
         rr = jnp.clip(32 - r, 0, 31)

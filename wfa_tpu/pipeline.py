@@ -86,7 +86,10 @@ class AlignmentPipeline:
             + cfg.penalties.gap_ext * (abs(lq - lt) + 1)
             + 2
         )
-        s1 = max(cfg.s_cap_base, _round_up(int(longest * 0.35), 128))
+        # short sequences afford a roomier tier 0 (memory is cheap there),
+        # saving the two-pass cost for 10%-error workloads
+        frac = 0.55 if longest <= 4096 else 0.35
+        s1 = max(cfg.s_cap_base, _round_up(int(longest * frac), 128))
         s_cap = (s1, 3 * s1, _round_up(worst + 2, 8))[min(tier, 2)]
         s_cap = min(s_cap, _round_up(worst + 2, 8))
         # a single batch's aux tensors must stay well under HBM even at
