@@ -154,3 +154,18 @@ def test_overflow_falls_back_to_oracle():
     results = engine.align_batch(pairs)
     for (q, t), res_e in zip(pairs, results):
         assert_same(res_e, oracle.align(q, t), q, t, "fallback")
+
+
+def test_windowed_stop_tables_match_oracle():
+    """w_win windows the per-step stop-table reads (long-sequence mode);
+    results must stay bit-identical, with outrun pairs falling back."""
+    rng = random.Random(77)
+    p = Penalties(4, 6, 2)
+    oracle = OracleAligner(p, Options(True), AdaptiveReductionOption())
+    pairs = random_pairs(rng, 10, max_len=80)
+    for w_win in (2, 4):
+        engine = BatchAligner(p, Options(True), AdaptiveReductionOption(),
+                              k_win=128, s_cap=256, engine="jax",
+                              w_win=w_win)
+        for (q, t), res in zip(pairs, engine.align_batch(pairs)):
+            assert_same(res, oracle.align(q, t), q, t, f"w{w_win}")

@@ -56,3 +56,30 @@ def test_pallas_engine_matches_oracle(adaptive):
         for attr in ("q_begin", "q_end", "t_begin", "t_end", "align_len",
                      "matches", "gaps", "gap_regions"):
             assert getattr(res_e, attr) == getattr(res_o, attr), (attr, q, t)
+
+
+def test_pallas_streaming_window_matches_oracle():
+    """Tiny streaming window (wv=2) forces HBM table refills every few
+    steps; end-to-end results must stay bit-identical to the oracle."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from wfa_tpu.engine import BatchAligner, _run_batch
+    from wfa_tpu.pallas_engine import pallas_run_batch
+
+    rng = random.Random(55)
+    p = Penalties(4, 6, 2)
+    ad = AdaptiveReductionOption(10, 50, 1)
+    pairs = random_pairs(rng, 8, max_len=80)
+    ba = BatchAligner(p, Options(True), ad, k_win=128, s_cap=256)
+    qb, tbuf, qlen, tlen, toff, Lq, Ltb = ba.pack_batch(pairs)
+    args = tuple(map(jnp.asarray, (qb, tbuf, qlen, tlen, toff)))
+    B = len(pairs)
+    st = jax.device_get(_run_batch(*args, cfg=ba.cfg, B=B, Lq=Lq, Ltb=Ltb))
+    fs, done, ovf, tc, aux, bs = jax.device_get(pallas_run_batch(
+        *args, cfg=ba.cfg, B=B, Lq=Lq, Ltb=Ltb, interpret=True, wv=2))
+    assert (fs == st.final_s).all()
+    assert (done == st.done).all()
+    assert (ovf == st.overflow).all()
