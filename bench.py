@@ -28,7 +28,7 @@ def _run(pipe, n, length, err):
     from wfa_tpu.datagen import generate_pairs
 
     pairs = generate_pairs(n, length, err, seed=42)
-    pipe.align_all(pairs[: min(64, n)])  # warm/compile
+    pipe.align_all(pairs)  # warm: compiles every shape/tier this touches
     t0 = time.perf_counter()
     results = pipe.align_all(pairs)
     elapsed = time.perf_counter() - t0

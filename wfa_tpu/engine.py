@@ -907,8 +907,13 @@ class BatchAligner:
             toff = (K // 2 - ak // 2).astype(np.int32)
         else:
             toff = qlen - 1
-        Lq = int(qlen.max())
-        Ltb = max(int((toff + tlen).max()), 1)
+        # pad buffer lengths to coarse steps so same-bucket chunks with
+        # slightly different maxima share one compiled program
+        def _pad_len(n: int) -> int:
+            g = 128 if n <= 4096 else 2048
+            return ((n + g - 1) // g) * g
+        Lq = _pad_len(int(qlen.max()))
+        Ltb = _pad_len(max(int((toff + tlen).max()), 1))
         pad = b"\0" * (Ltb + 1)
         toffs = toff.tolist()
         qb = np.frombuffer(
@@ -977,8 +982,13 @@ class BatchAligner:
 
     def finish_batch(self, handle, fallback: bool = True):
         """Fetch a submitted batch's results and decode them."""
-        pairs, out = handle
-        out = jax.device_get(out)
+        pairs, dev = handle
+        out = jax.device_get(dev)
+        # release the device buffers eagerly — retry tiers of long
+        # sequences allocate multi-GB programs and must not stack up
+        # behind Python GC
+        for a in dev.values():
+            a.delete()
         return self._finish(pairs, out, fallback)
 
     # -- host-side completion -------------------------------------------------

@@ -94,7 +94,7 @@ class AlignmentPipeline:
         s_cap = min(s_cap, _round_up(worst + 2, 8))
         # a single batch's aux tensors must stay well under HBM even at
         # the 32-pair block minimum (S rows cost 3 planes * 32 * K * 4B)
-        s_mem_max = (10 << 30) // (3 * 32 * k_win * 4)
+        s_mem_max = (7 << 30) // (3 * 32 * k_win * 4)
         s_cap = min(s_cap, _round_up(s_mem_max, 8) - 8)
         # long sequences: the Pallas kernel streams its own table
         # window; the JAX fallback (forced at the last tier so pairs that
@@ -104,9 +104,10 @@ class AlignmentPipeline:
         if longest <= 4096:
             w_win = None
         else:
+            # only consumed by the JAX fallback engine (the Pallas kernel
+            # streams its own window); retries regroup escapees, which
+            # shrinks their progress spread
             w_win = (128, 256, 512)[min(tier, 2)]
-            if tier >= 2:
-                engine = "jax"
         # bound the batch so one batch's device tensors fit the HBM budget
         lw = (lq + lt) // 32 + 8
         pallas_likely = (cfg.options.global_alignment and engine != "jax"
@@ -160,17 +161,35 @@ class AlignmentPipeline:
             for (lq_c, lt_c), items in pending.items():
                 if not items:
                     continue
+                # caps follow the bucket's ACTUAL maxima, not the padded
+                # class label (power-of-two classes inflate 50k to 64k,
+                # and with it every score cap and memory bound)
+                lq_max = max(len(p[0]) for _, p in items)
+                lt_max = max(len(p[1]) for _, p in items)
                 k_win, s_cap, w_win, b_cap, engine, serial = (
-                    self._tier_caps(lq_c, lt_c, tier))
+                    self._tier_caps(lq_max, lt_max, tier))
                 eng = self._engine(k_win, s_cap, w_win, engine)
                 bs = min(self.cfg.batch_size, b_cap)
+                probe = tier < 2 and len(items) > bs
+                skip_rest = False
                 for start in range(0, len(items), bs):
                     chunk = items[start : start + bs]
-                    handle = eng.submit_batch([p for _, p in chunk])
-                    if serial:  # drain before submitting the next batch
+                    if skip_rest:
+                        # probe said this tier's caps don't fit the
+                        # workload — push straight to the next tier
                         inflight.append(
-                            ((lq_c, lt_c), eng, chunk,
-                             eng.finish_batch(handle, fallback=False)))
+                            ((lq_c, lt_c), eng, chunk, [None] * len(chunk)))
+                        continue
+                    handle = eng.submit_batch([p for _, p in chunk])
+                    if serial or (probe and start == 0):
+                        # drain the first chunk as a probe (and every
+                        # chunk of multi-GB configs)
+                        out = eng.finish_batch(handle, fallback=False)
+                        inflight.append(((lq_c, lt_c), eng, chunk, out))
+                        if probe and start == 0:
+                            n_bad = sum(r is None for r in out)
+                            if n_bad * 10 >= len(out) * 9:
+                                skip_rest = True
                     else:
                         inflight.append(((lq_c, lt_c), eng, chunk, handle))
             nxt = {key: [] for key in pending}
