@@ -383,4 +383,7 @@ def device_backtrace(
 
     tail = jnp.stack([tok_a, tok_b, tok_c, tok_d], axis=1).astype(tok_dtype)
 
-    return tok0, buf, tail, qb0, qe, tb0, te
+    # `it` = loop iterations actually executed (max path length over the
+    # batch): rows of `buf` beyond it are all-zero, so the host need only
+    # fetch buf[:it] — token downloads dominate the tunnel budget
+    return tok0, buf, tail, it, qb0, qe, tb0, te

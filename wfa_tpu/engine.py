@@ -819,7 +819,7 @@ def _align_full_impl(
         start_cell = jnp.where(ok_st, jnp.take(flat_m, idx), 0)
     active0 = done & ~overflow
     token_shift = 12 if max(Lq, Ltb) < (1 << 12) else 28
-    tok0, buf, tail, qb0, qe, tb0, te = device_backtrace(
+    tok0, buf, tail, it_used, qb0, qe, tb0, te = device_backtrace(
         aux, start_cell, k0, start_s, start_k, qlen, tlen, active0,
         penalties=cfg.penalties,
         global_alignment=cfg.global_alignment,
@@ -833,6 +833,7 @@ def _align_full_impl(
         "tok0": tok0,
         "buf": buf,
         "tail": tail,
+        "it_used": jnp.broadcast_to(it_used, qb0.shape),
         "q_begin": qb0,
         "q_end": qe,
         "t_begin": tb0,
@@ -975,15 +976,25 @@ class BatchAligner:
             cfg=self.cfg, B=B, Lq=Lq, Ltb=Ltb, engine=engine,
         )
         # queue device->host copies now so they overlap the next batch's
-        # compute instead of serializing at fetch time
-        for a in out.values():
-            a.copy_to_host_async()
+        # compute instead of serializing at fetch time; the token buffer
+        # is fetched separately, trimmed to its used rows (the tunnel's
+        # device->host bandwidth is the scarce resource)
+        for k, a in out.items():
+            if k != "buf":
+                a.copy_to_host_async()
         return pairs, out
 
     def finish_batch(self, handle, fallback: bool = True):
         """Fetch a submitted batch's results and decode them."""
         pairs, dev = handle
-        out = jax.device_get(dev)
+        small = {k: a for k, a in dev.items() if k != "buf"}
+        out = jax.device_get(small)
+        # fetch only the used token rows (rounded so slice programs are
+        # reused); rows beyond the backtrace's last iteration are zeros
+        buf_dev = dev["buf"]
+        it = int(out["it_used"].max()) if len(pairs) else 0
+        rows = min(buf_dev.shape[0], ((max(it, 1) + 31) // 32) * 32)
+        out["buf"] = np.asarray(buf_dev[:rows])
         # release the device buffers eagerly — retry tiers of long
         # sequences allocate multi-GB programs and must not stack up
         # behind Python GC

@@ -100,7 +100,7 @@ def dp_align_full(
     lb = _local_b(qb.shape[0], mesh)
     out_specs = {
         "score": P("dp"), "overflow": P("dp"), "tok0": P("dp"),
-        "buf": P(None, "dp", None), "tail": P("dp"),
+        "buf": P(None, "dp", None), "tail": P("dp"), "it_used": P("dp"),
         "q_begin": P("dp"), "q_end": P("dp"),
         "t_begin": P("dp"), "t_end": P("dp"),
         "align_len": P("dp"), "matches": P("dp"),
