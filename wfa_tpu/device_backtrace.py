@@ -222,7 +222,7 @@ def device_backtrace(
         sc = jnp.clip(s, 0, S - 1)
         jc = jnp.clip(j, 0, K - 1)
         row = (comp * S + sc) * Bs + bidx
-        cell = flat[row, jc]
+        cell = flat[row, jc].astype(jnp.int32)
         found = ok & (cell > 0)
         cell = jnp.where(found, cell, 0)
         return cell >> TYPE_BITS, cell & ((1 << TYPE_BITS) - 1), found

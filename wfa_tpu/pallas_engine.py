@@ -89,8 +89,9 @@ def _kernel(
     m_win, i_win, d_win, am_win, ai_win, ad_win,
     ob_m, ob_i, ob_d, sem, twhi, twlo, tfsa, tsem,
     *, S, K, Lw2, WV, X, OE, E, GLOBAL, REDUCE_ON, MIN_WF_LEN,
-    MAX_DIST_DIFF,
+    MAX_DIST_DIFF, CELL16,
 ):
+    cell_dtype = jnp.int16 if CELL16 else jnp.int32
     STREAM = Lw2 > WV  # stop tables stay in HBM; a WV-group window
     # slides through VMEM as the block's offsets advance
     WM = max(X, OE) + 1
@@ -588,11 +589,11 @@ def _kernel(
         ai = ai_win[pl.ds(slot_sa, 1)][0]
         ad = ad_win[pl.ds(slot_sa, 1)][0]
         ob_m[pl.ds(oslot, 1), pl.ds(och, 1)] = jnp.where(
-            wrote & (row_m != 0), am, 0)[None, None]
+            wrote & (row_m != 0), am, 0).astype(cell_dtype)[None, None]
         ob_i[pl.ds(oslot, 1), pl.ds(och, 1)] = jnp.where(
-            wrote & (row_i != 0), ai, 0)[None, None]
+            wrote & (row_i != 0), ai, 0).astype(cell_dtype)[None, None]
         ob_d[pl.ds(oslot, 1), pl.ds(och, 1)] = jnp.where(
-            wrote & (row_d != 0), ad, 0)[None, None]
+            wrote & (row_d != 0), ad, 0).astype(cell_dtype)[None, None]
 
         @pl.when(lax.rem(s, CH) == CH - 1)
         def _():
@@ -724,6 +725,10 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         wv = min(64, max(16, (7 << 20) // (3 * B_BLK * K * 4)))
     WV = wv
     stream = Lw2 > WV
+    # 16-bit aux cells when offsets fit 13 bits shrink the dominant
+    # history DMA stream and HBM footprint by half
+    cell16 = Ltb <= 4095
+    cell_dtype = jnp.int16 if cell16 else jnp.int32
     kern = functools.partial(
         _kernel, S=S, K=K, Lw2=Lw2, WV=WV,
         X=int(p.mismatch), OE=int(p.gap_open + p.gap_ext),
@@ -732,6 +737,7 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         REDUCE_ON=cfg.adaptive is not None,
         MIN_WF_LEN=int(cfg.adaptive.min_wf_len) if cfg.adaptive else 0,
         MAX_DIST_DIFF=int(cfg.adaptive.max_dist_diff) if cfg.adaptive else 0,
+        CELL16=cell16,
     )
     table_space = pltpu.ANY if stream else pltpu.VMEM
     if stream:
@@ -763,7 +769,7 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, 8), jnp.int32),
-            jax.ShapeDtypeStruct((3, S, Bp, K), jnp.int32),
+            jax.ShapeDtypeStruct((3, S, Bp, K), cell_dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((WM, B_BLK, K), jnp.int32),
@@ -772,9 +778,9 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
             pltpu.VMEM((2, B_BLK, K), jnp.int32),
             pltpu.VMEM((2, B_BLK, K), jnp.int32),
             pltpu.VMEM((2, B_BLK, K), jnp.int32),
-            pltpu.VMEM((2, CH, B_BLK, K), jnp.int32),
-            pltpu.VMEM((2, CH, B_BLK, K), jnp.int32),
-            pltpu.VMEM((2, CH, B_BLK, K), jnp.int32),
+            pltpu.VMEM((2, CH, B_BLK, K), cell_dtype),
+            pltpu.VMEM((2, CH, B_BLK, K), cell_dtype),
+            pltpu.VMEM((2, CH, B_BLK, K), cell_dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.VMEM((B_BLK, twv * K), jnp.int32),
             pltpu.VMEM((B_BLK, twv * K), jnp.int32),
