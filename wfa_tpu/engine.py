@@ -17,14 +17,17 @@ Storage is dense, not pointer-chased:
   dense analogs of wfa_wavefront.go:45-48 / wfa_component.go:81-101).
 
 One engine iteration fuses the reference's extend (wfa.go:381-458) —
-a vectorized 4-byte-packed LCP over all live diagonals — the termination
-test (wfa.go:235-239), wf-adaptive reduction (wfa.go:461-540) expressed as
-masked band-bound updates, and next (wfa.go:549-700) as shifted window
-reads + element-wise max/select with the reference's exact tie-breaking.
+one masked pass over precomputed stop tables plus a count-leading-zeros,
+see ``_stop_tables`` — the termination test (wfa.go:235-239), wf-adaptive
+reduction (wfa.go:461-540) expressed as masked band-bound updates, and
+next (wfa.go:549-700) as shifted window reads + element-wise max/select
+with the reference's exact tie-breaking.
 
-The sequential, data-dependent backtrace also runs on device
-(wfa_tpu.device_backtrace) so only compact op-token buffers ever leave
-the chip; the wavefront history stays in HBM.
+This XLA engine is the exactness reference for, and the fallback behind,
+the fused Pallas kernel (wfa_tpu.pallas_engine), which runs the same loop
+VMEM-resident.  The sequential, data-dependent backtrace also runs on
+device (wfa_tpu.device_backtrace) so only compact op-token buffers ever
+leave the chip; the backtrace-aux history stays in HBM.
 """
 
 from __future__ import annotations

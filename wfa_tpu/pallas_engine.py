@@ -88,7 +88,7 @@ def _kernel(
     out_ref, aux_ref,
     m_win, i_win, d_win, am_win, ai_win, ad_win,
     ob_m, ob_i, ob_d, sem, twhi, twlo, tfsa, tsem,
-    *, S, K, Lw2, WV, X, OE, E, GLOBAL, REDUCE_ON, MIN_WF_LEN,
+    *, S, K, Lw2, WV, BB, X, OE, E, GLOBAL, REDUCE_ON, MIN_WF_LEN,
     MAX_DIST_DIFF, CELL16,
 ):
     cell_dtype = jnp.int16 if CELL16 else jnp.int32
@@ -99,7 +99,7 @@ def _kernel(
     WB = 64  # band-slot lanes (>= WM, WE)
     blk = pl.program_id(0)
 
-    prm = params_ref[:]  # [B_BLK, _NP]
+    prm = params_ref[:]  # [BB, _NP]
     qlen = prm[:, 0:1]
     tlen = prm[:, 1:2]
     toff = prm[:, 2:3]
@@ -114,23 +114,23 @@ def _kernel(
     ak = prm[:, 11:12]
 
     k0 = -toff
-    ks = k0 + _iota((B_BLK, K), 1)  # [B_BLK, K] diagonal of each column
-    lane_k = _iota((B_BLK, K), 1)
-    lane_b = _iota((B_BLK, WB), 1)
+    ks = k0 + _iota((BB, K), 1)  # [BB, K] diagonal of each column
+    lane_k = _iota((BB, K), 1)
+    lane_b = _iota((BB, WB), 1)
 
     # ---- init windows & band slots (seeding, wfa.go:143-184) ----
-    m_win[...] = jnp.zeros((WM, B_BLK, K), jnp.int32)
-    i_win[...] = jnp.zeros((WE, B_BLK, K), jnp.int32)
-    d_win[...] = jnp.zeros((WE, B_BLK, K), jnp.int32)
+    m_win[...] = jnp.zeros((WM, BB, K), jnp.int32)
+    i_win[...] = jnp.zeros((WE, BB, K), jnp.int32)
+    d_win[...] = jnp.zeros((WE, BB, K), jnp.int32)
     m_win[0] = seed0_ref[:]
     if 0 < X < WM:
         m_win[X] = seedx_ref[:]
     # aux plane (backtrace pre-extension offsets): seed cells have no
     # sources (the reference's from-itself break), so their aux value is
     # just the tag bits
-    am_win[...] = jnp.zeros((2, B_BLK, K), jnp.int32)
-    ai_win[...] = jnp.zeros((2, B_BLK, K), jnp.int32)
-    ad_win[...] = jnp.zeros((2, B_BLK, K), jnp.int32)
+    am_win[...] = jnp.zeros((2, BB, K), jnp.int32)
+    ai_win[...] = jnp.zeros((2, BB, K), jnp.int32)
+    ad_win[...] = jnp.zeros((2, BB, K), jnp.int32)
     am_win[0] = seed0_ref[:] & 7
 
     def band_init(lo_v, hi_v, ex_v, slot):
@@ -147,13 +147,13 @@ def _kernel(
         m_lo = jnp.where(sel, lox, m_lo)
         m_hi = jnp.where(sel, hix, m_hi)
         m_ex = jnp.where(sel, exx, m_ex)
-    i_lo = jnp.full((B_BLK, WB), _BIG, jnp.int32)
-    i_hi = jnp.full((B_BLK, WB), -_BIG, jnp.int32)
-    i_ex = jnp.zeros((B_BLK, WB), jnp.int32)
+    i_lo = jnp.full((BB, WB), _BIG, jnp.int32)
+    i_hi = jnp.full((BB, WB), -_BIG, jnp.int32)
+    i_ex = jnp.zeros((BB, WB), jnp.int32)
     d_lo, d_hi, d_ex = i_lo, i_hi, i_ex
 
     def slot_read(arr, slot):
-        """[B_BLK, WB] band array -> [B_BLK, 1] value at lane `slot`."""
+        """[BB, WB] band array -> [BB, 1] value at lane `slot`."""
         return jnp.sum(jnp.where(lane_b == slot, arr, 0), axis=1,
                        keepdims=True)
 
@@ -173,7 +173,7 @@ def _kernel(
                          keepdims=True) > 0) & okd
         lo_kr = jnp.where(ex_sp, lo_sp, 0)
         hi_kr = jnp.where(ex_sp, hi_sp, 0)
-        row = win[pl.ds(slot, 1)][0]  # [B_BLK, K]
+        row = win[pl.ds(slot, 1)][0]  # [BB, K]
         found = ex_sp & (ks >= lo_sp) & (ks <= hi_sp) & (row > 0)
         return lo_kr, hi_kr, jnp.where(found, row >> TYPE_BITS, 0), found
 
@@ -192,13 +192,13 @@ def _kernel(
         slot = lax.rem(c, 2)
         return pltpu.make_async_copy(
             ob.at[slot],
-            aux_ref.at[comp, pl.ds(c * CH, CH), pl.ds(blk * B_BLK, B_BLK)],
+            aux_ref.at[comp, pl.ds(c * CH, CH), pl.ds(blk * BB, BB)],
             sem.at[slot, comp],
         )
 
     def table_dma(idx, src_ref, dst_ref, base):
         return pltpu.make_async_copy(
-            src_ref.at[pl.ds(blk * B_BLK, B_BLK), pl.ds(base * K, WV * K)],
+            src_ref.at[pl.ds(blk * BB, BB), pl.ds(base * K, WV * K)],
             dst_ref,
             tsem.at[idx],
         )
@@ -224,9 +224,9 @@ def _kernel(
         """One-hot select over n word groups, split into 4 independent
         sub-chains so the accumulator dependency depth is ~n/4 (the body
         is latency-bound); one-hot partials merge with | / min."""
-        hi = [jnp.zeros((B_BLK, K), jnp.int32) for _ in range(4)]
-        lo = [jnp.zeros((B_BLK, K), jnp.int32) for _ in range(4)]
-        fs = [jnp.full((B_BLK, K), _BIG, jnp.int32) for _ in range(4)]
+        hi = [jnp.zeros((BB, K), jnp.int32) for _ in range(4)]
+        lo = [jnp.zeros((BB, K), jnp.int32) for _ in range(4)]
+        fs = [jnp.full((BB, K), _BIG, jnp.int32) for _ in range(4)]
         for w in range(n):
             c = w & 3
             m = w2 == (w if base is None else base + w)
@@ -350,10 +350,10 @@ def _kernel(
             lo_m_old = slot_read(m_lo, slot_s2)
             hi_m_old = slot_read(m_hi, slot_s2)
         else:
-            row_m_old = jnp.zeros((B_BLK, K), jnp.int32)
-            ex_m_old = jnp.zeros((B_BLK, 1), bool)
-            lo_m_old = jnp.full((B_BLK, 1), _BIG, jnp.int32)
-            hi_m_old = jnp.full((B_BLK, 1), -_BIG, jnp.int32)
+            row_m_old = jnp.zeros((BB, K), jnp.int32)
+            ex_m_old = jnp.zeros((BB, 1), bool)
+            lo_m_old = jnp.full((BB, 1), _BIG, jnp.int32)
+            hi_m_old = jnp.full((BB, 1), -_BIG, jnp.int32)
         row_m_new = jnp.where(wr_m, (Msk << TYPE_BITS) | tag_m, row_m_old)
         aux_m_new = jnp.where(wr_m, (aux_m_val << TYPE_BITS) | tag_m,
                               row_m_old & 7)
@@ -416,7 +416,7 @@ def _kernel(
         (s, done, overflow, final_s, term_cell, wbase,
          m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex) = carry
 
-        live0 = (done == 0) & (overflow == 0)  # [B_BLK, 1]
+        live0 = (done == 0) & (overflow == 0)  # [BB, 1]
         slot_s = lax.rem(s, WM)
         slot_se = lax.rem(s, WE)
         lo_ms = slot_read(m_lo, slot_s)
@@ -614,7 +614,7 @@ def _kernel(
         done, overflow = carry[1], carry[2]
         return (s < S - 1) & jnp.any((done == 0) & (overflow == 0))
 
-    z1 = jnp.zeros((B_BLK, 1), jnp.int32)
+    z1 = jnp.zeros((BB, 1), jnp.int32)
     carry = (jnp.int32(0), z1, ovf0, z1, z1, jnp.int32(-WV),
              m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex)
     carry = lax.while_loop(cond, body, carry)
@@ -643,7 +643,7 @@ def _kernel(
 
     overflow = jnp.where(done == 0, 1, overflow)
     res = jnp.concatenate(
-        [final_s, done, overflow, jnp.broadcast_to(s_exit, (B_BLK, 1)),
+        [final_s, done, overflow, jnp.broadcast_to(s_exit, (BB, 1)),
          term_cell] + [z1] * 3, axis=1)
     out_ref[:] = res
 
@@ -706,8 +706,14 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
          lox, hix, exx.astype(jnp.int32), Ak]
         + [jnp.zeros_like(qlen)] * (_NP - 12), axis=1)
 
+    # block size: 32 pairs amortizes per-op cost (vector ops cost much
+    # the same regardless of sublane occupancy, so block padding is nearly
+    # free); shrink only when a block's aux plane would strain HBM
+    bb = B_BLK
+    while bb > 8 and S * K * bb * 12 > (6 << 30):
+        bb //= 2
     # pad the batch to a block multiple (padding rows are overflow)
-    Bp = ((B + B_BLK - 1) // B_BLK) * B_BLK
+    Bp = ((B + bb - 1) // bb) * bb
     if Bp != B:
         pad = Bp - B
         params = jnp.concatenate(
@@ -721,8 +727,13 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
 
     WM = max(p.mismatch, p.gap_open + p.gap_ext) + 1
     WE = p.gap_ext + 1
+    # block size: 32 pairs amortizes per-op cost; shrink for small or
+    # memory-heavy batches so block padding stops wasting work
+    bb = bb
+    while bb > 8 and (B <= bb // 2 or S * K * bb * 12 > (3 << 30)):
+        bb //= 2
     if wv <= 0:  # table window sized to a ~7MB VMEM budget
-        wv = min(64, max(16, (7 << 20) // (3 * B_BLK * K * 4)))
+        wv = min(64, max(16, (7 << 20) // (3 * bb * K * 4)))
     WV = wv
     stream = Lw2 > WV
     # 16-bit aux cells when offsets fit 13 bits shrink the dominant
@@ -730,7 +741,7 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     cell16 = Ltb <= 4095
     cell_dtype = jnp.int16 if cell16 else jnp.int32
     kern = functools.partial(
-        _kernel, S=S, K=K, Lw2=Lw2, WV=WV,
+        _kernel, S=S, K=K, Lw2=Lw2, WV=WV, BB=bb,
         X=int(p.mismatch), OE=int(p.gap_open + p.gap_ext),
         E=int(p.gap_ext),
         GLOBAL=cfg.global_alignment,
@@ -744,26 +755,26 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         table_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
     else:
         table_specs = [
-            pl.BlockSpec((B_BLK, Lw2 * K), lambda b: (b, 0),
+            pl.BlockSpec((bb, Lw2 * K), lambda b: (b, 0),
                          memory_space=pltpu.VMEM)
         ] * 3
     twv = WV if stream else 1
 
-    nblk = Bp // B_BLK
+    nblk = Bp // bb
     out, aux = pl.pallas_call(
         kern,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((B_BLK, _NP), lambda b: (b, 0),
+            pl.BlockSpec((bb, _NP), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ] + table_specs + [
-            pl.BlockSpec((B_BLK, K), lambda b: (b, 0),
+            pl.BlockSpec((bb, K), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_BLK, K), lambda b: (b, 0),
+            pl.BlockSpec((bb, K), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((B_BLK, 8), lambda b: (b, 0),
+            pl.BlockSpec((bb, 8), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -772,19 +783,19 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
             jax.ShapeDtypeStruct((3, S, Bp, K), cell_dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((WM, B_BLK, K), jnp.int32),
-            pltpu.VMEM((WE, B_BLK, K), jnp.int32),
-            pltpu.VMEM((WE, B_BLK, K), jnp.int32),
-            pltpu.VMEM((2, B_BLK, K), jnp.int32),
-            pltpu.VMEM((2, B_BLK, K), jnp.int32),
-            pltpu.VMEM((2, B_BLK, K), jnp.int32),
-            pltpu.VMEM((2, CH, B_BLK, K), cell_dtype),
-            pltpu.VMEM((2, CH, B_BLK, K), cell_dtype),
-            pltpu.VMEM((2, CH, B_BLK, K), cell_dtype),
+            pltpu.VMEM((WM, bb, K), jnp.int32),
+            pltpu.VMEM((WE, bb, K), jnp.int32),
+            pltpu.VMEM((WE, bb, K), jnp.int32),
+            pltpu.VMEM((2, bb, K), jnp.int32),
+            pltpu.VMEM((2, bb, K), jnp.int32),
+            pltpu.VMEM((2, bb, K), jnp.int32),
+            pltpu.VMEM((2, CH, bb, K), cell_dtype),
+            pltpu.VMEM((2, CH, bb, K), cell_dtype),
+            pltpu.VMEM((2, CH, bb, K), cell_dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.VMEM((B_BLK, twv * K), jnp.int32),
-            pltpu.VMEM((B_BLK, twv * K), jnp.int32),
-            pltpu.VMEM((B_BLK, twv * K), jnp.int32),
+            pltpu.VMEM((bb, twv * K), jnp.int32),
+            pltpu.VMEM((bb, twv * K), jnp.int32),
+            pltpu.VMEM((bb, twv * K), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

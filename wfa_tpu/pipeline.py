@@ -101,8 +101,13 @@ class AlignmentPipeline:
         # outrun the streaming window still finish on device) reads a
         # w_win-word slice per step
         engine = "auto"
-        if longest <= 4096:
+        if longest <= 4096 and k_win <= 512:
             w_win = None
+        elif longest <= 4096:
+            # wide diagonal window (semi-global spans every diagonal) but
+            # short sequences: window the per-step stop-table reads —
+            # streaming the full tables would be hundreds of MB per step
+            w_win = (32, 64, None)[min(tier, 2)]
         else:
             # only consumed by the JAX fallback engine (the Pallas kernel
             # streams its own window); retries regroup escapees, which
