@@ -18,21 +18,24 @@ import os
 import sys
 import time
 
-N_PAIRS = int(os.environ.get("WFA_BENCH_PAIRS", "16384"))
+N_PAIRS = int(os.environ.get("WFA_BENCH_PAIRS", "32768"))
 LENGTH = int(os.environ.get("WFA_BENCH_LEN", "1000"))
 ERROR_RATE = float(os.environ.get("WFA_BENCH_ERR", "0.05"))
 BASELINE_ALN_S = 6483.0  # wfa-go, l=1000 e=0.05 (benchmark.tsv:4)
 
 
-def _run(pipe, n, length, err):
+def _run(pipe, n, length, err, reps=3):
     from wfa_tpu.datagen import generate_pairs
 
     pairs = generate_pairs(n, length, err, seed=42)
     pipe.align_all(pairs)  # warm: compiles every shape/tier this touches
-    t0 = time.perf_counter()
-    results = pipe.align_all(pairs)
-    elapsed = time.perf_counter() - t0
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        results = pipe.align_all(pairs)
+        times.append(time.perf_counter() - t0)
     assert len(results) == n and all(r is not None for r in results)
+    elapsed = sorted(times)[len(times) // 2]  # median vs tunnel jitter
     return n / elapsed, elapsed, results[0]
 
 
@@ -57,7 +60,7 @@ def main() -> None:
         ]
         for length, err, go in rows:
             n = 16384 if length <= 1000 else 64
-            aln_s, elapsed, _ = _run(pipe, n, length, err)
+            aln_s, elapsed, _ = _run(pipe, n, length, err, reps=1)
             print(f"# l={length} e={err}: {aln_s:.1f} aln/s "
                   f"(Go {go}; {aln_s / go:.1f}x) n={n} {elapsed:.2f}s",
                   file=sys.stderr)

@@ -989,6 +989,14 @@ class BatchAligner:
 
     def finish_batch(self, handle, fallback: bool = True):
         """Fetch a submitted batch's results and decode them."""
+        return self.finish_tokens(self.finish_small(handle), fallback)
+
+    def finish_small(self, handle):
+        """Fetch everything except the token buffer and queue the
+        trimmed token fetch; returns a handle for finish_tokens.
+
+        Splitting the fetch lets a pipeline start the (latency-bound)
+        token-slice dispatch of one batch while others still compute."""
         pairs, dev = handle
         small = {k: a for k, a in dev.items() if k != "buf"}
         out = jax.device_get(small)
@@ -997,12 +1005,19 @@ class BatchAligner:
         buf_dev = dev["buf"]
         it = int(out["it_used"].max()) if len(pairs) else 0
         rows = min(buf_dev.shape[0], ((max(it, 1) + 31) // 32) * 32)
-        out["buf"] = np.asarray(buf_dev[:rows])
+        buf_trim = buf_dev[:rows]
+        buf_trim.copy_to_host_async()
+        return pairs, dev, out, buf_trim
+
+    def finish_tokens(self, handle2, fallback: bool = True):
+        pairs, dev, out, buf_trim = handle2
+        out["buf"] = np.asarray(buf_trim)
         # release the device buffers eagerly — retry tiers of long
         # sequences allocate multi-GB programs and must not stack up
         # behind Python GC
         for a in dev.values():
             a.delete()
+        buf_trim.delete()
         return self._finish(pairs, out, fallback)
 
     # -- host-side completion -------------------------------------------------

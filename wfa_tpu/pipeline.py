@@ -198,11 +198,21 @@ class AlignmentPipeline:
                     else:
                         inflight.append(((lq_c, lt_c), eng, chunk, handle))
             nxt = {key: [] for key in pending}
+            # two-pass finish: fetch scalars + dispatch trimmed token
+            # slices for every batch first, then collect the tokens —
+            # the slice dispatch latency overlaps across batches
+            staged = []
             for key, eng, chunk, handle in inflight:
+                if isinstance(handle, list):
+                    staged.append((key, eng, chunk, handle))
+                else:
+                    staged.append(
+                        (key, eng, chunk, eng.finish_small(handle)))
+            for key, eng, chunk, handle in staged:
                 if isinstance(handle, list):
                     out = handle  # already finished (serial big batch)
                 else:
-                    out = eng.finish_batch(handle, fallback=False)
+                    out = eng.finish_tokens(handle, fallback=False)
                 for (idx, pair), res in zip(chunk, out):
                     if res is None:
                         nxt[key].append((idx, pair))
