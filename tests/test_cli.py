@@ -101,3 +101,26 @@ def test_cli_semi_global_flag():
     assert "cigar   9I1X14M3I4M1D1M1X5M1X3I" in out
     assert "match-region: q[2, 27]/28 vs t[11, 38]/42" in out
     assert "align-length: 29, matches: 24 (82.76%), gaps: 4, gap regions: 2" in out
+
+
+def test_cli_resume(tmp_path, capsys):
+    """--resume skips pairs recorded as completed and appends progress."""
+    import wfa_tpu.cli as cli
+    from wfa_tpu.datagen import generate_pairs, write_pair_file
+
+    pairs = generate_pairs(6, 40, 0.1, seed=11)
+    infile = tmp_path / "pairs.txt"
+    write_pair_file(str(infile), pairs)
+    state = tmp_path / "progress"
+
+    assert cli.main(["-i", str(infile), "-N", "--no-device",
+                     "--resume", str(state)]) == 0
+    assert state.read_text() == "6"
+
+    # pre-seed partial progress: only the remaining pairs are aligned
+    state.write_text("4")
+    assert cli.main(["-i", str(infile), "--no-device",
+                     "--resume", str(state)]) == 0
+    assert state.read_text() == "6"
+    blocks = capsys.readouterr().out.count("align-score")
+    assert blocks == 2

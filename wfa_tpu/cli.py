@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument("--no-device", action="store_true")
     ap.add_argument("--profile-dir", default="")
+    ap.add_argument(
+        "--resume", default="",
+        help="progress-state file: skip pairs recorded as completed and "
+             "append new progress (checkpoint/resume at block granularity)")
     ap.add_argument("seqs", nargs="*")
     return ap
 
@@ -141,8 +145,24 @@ def main(argv=None) -> int:
             pair_src = read_pairs(args.infile)
 
         import itertools
+        import time
+
+        skip = 0
+        if args.resume:
+            import os
+
+            if os.path.exists(args.resume):
+                with open(args.resume) as fh:
+                    skip = int(fh.read().strip() or 0)
+                print(f"resuming after {skip} completed pairs",
+                      file=sys.stderr)
 
         it = iter(pair_src)
+        n_done = 0
+        t_start = time.perf_counter()
+        if skip:
+            for _ in itertools.islice(it, skip):
+                n_done += 1
         while True:
             block = list(itertools.islice(it, 4096))
             if not block:
@@ -150,6 +170,22 @@ def main(argv=None) -> int:
             for (q, t), result in zip(block, pipe.align_all(block)):
                 if not args.no_output:
                     _format_result(out, q, t, result, args.trim)
+            n_done += len(block)
+            if args.resume:
+                tmp = args.resume + ".tmp"
+                with open(tmp, "w") as fh:
+                    fh.write(str(n_done))
+                import os
+
+                os.replace(tmp, args.resume)
+        elapsed = time.perf_counter() - t_start
+        aligned = n_done - skip
+        if aligned and args.infile:
+            print(
+                f"aligned {aligned} pairs in {elapsed:.2f}s "
+                f"({aligned / elapsed:.1f} aln/s)",
+                file=sys.stderr,
+            )
     finally:
         if profiler == "jax":
             import jax
