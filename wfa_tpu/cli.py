@@ -122,6 +122,11 @@ def main(argv=None) -> int:
 
         profiler = cProfile.Profile()
         profiler.enable()
+    elif args.pprof_mem:
+        import tracemalloc
+
+        tracemalloc.start()
+        profiler = "mem"
 
     try:
         if not args.infile:
@@ -191,6 +196,14 @@ def main(argv=None) -> int:
             import jax
 
             jax.profiler.stop_trace()
+        elif profiler == "mem":
+            import tracemalloc
+
+            snap = tracemalloc.take_snapshot()
+            with open("mem.pprof.txt", "w") as fh:
+                for stat in snap.statistics("lineno")[:50]:
+                    fh.write(f"{stat}\n")
+            print("heap profile written to mem.pprof.txt", file=sys.stderr)
         elif profiler is not None:
             profiler.disable()
             profiler.dump_stats("cpu.pprof.pstats")
