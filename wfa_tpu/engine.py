@@ -780,7 +780,8 @@ def _align_full_impl(
     the fused Pallas kernel when the config supports it (see
     pallas_engine.supports) unless ``engine`` says otherwise.
     """
-    from .device_backtrace import device_backtrace, device_stats, end_finder
+    from .device_backtrace import (compact_tokens, device_backtrace,
+                                   device_stats, end_finder)
 
     S = cfg.s_cap
     K = cfg.k_win
@@ -830,13 +831,16 @@ def _align_full_impl(
     )
     align_len, matches, gaps, gap_regions = device_stats(
         tok0, buf, tail, token_shift)
+    if token_shift <= 12:
+        toks, n_tok = compact_tokens(tok0, buf, tail, token_shift)
+        tok_out = {"toks": toks, "n_tok": n_tok}
+    else:
+        tok_out = {"tok0": tok0, "buf": buf, "tail": tail,
+                   "it_used": jnp.broadcast_to(it_used, qb0.shape)}
     return {
         "score": start_s,
         "overflow": overflow,
-        "tok0": tok0,
-        "buf": buf,
-        "tail": tail,
-        "it_used": jnp.broadcast_to(it_used, qb0.shape),
+        **tok_out,
         "q_begin": qb0,
         "q_end": qe,
         "t_begin": tb0,
@@ -998,26 +1002,32 @@ class BatchAligner:
         Splitting the fetch lets a pipeline start the (latency-bound)
         token-slice dispatch of one batch while others still compute."""
         pairs, dev = handle
-        small = {k: a for k, a in dev.items() if k != "buf"}
+        big = "toks" if "toks" in dev else "buf"
+        small = {k: a for k, a in dev.items() if k != big}
         out = jax.device_get(small)
-        # fetch only the used token rows (rounded so slice programs are
-        # reused); rows beyond the backtrace's last iteration are zeros
-        buf_dev = dev["buf"]
-        it = int(out["it_used"].max()) if len(pairs) else 0
-        rows = min(buf_dev.shape[0], ((max(it, 1) + 31) // 32) * 32)
-        buf_trim = buf_dev[:rows]
-        buf_trim.copy_to_host_async()
-        return pairs, dev, out, buf_trim
+        # fetch only the used token columns/rows (rounded so slice
+        # programs are reused); the rest is all-zero
+        if big == "toks":
+            n = int(out["n_tok"].max()) if len(pairs) else 0
+            cols = min(dev["toks"].shape[1],
+                       ((max(n, 1) + 63) // 64) * 64)
+            trim = dev["toks"][:, :cols]
+        else:
+            it = int(out["it_used"].max()) if len(pairs) else 0
+            rows = min(dev["buf"].shape[0], ((max(it, 1) + 31) // 32) * 32)
+            trim = dev["buf"][:rows]
+        trim.copy_to_host_async()
+        return pairs, dev, out, big, trim
 
     def finish_tokens(self, handle2, fallback: bool = True):
-        pairs, dev, out, buf_trim = handle2
-        out["buf"] = np.asarray(buf_trim)
+        pairs, dev, out, big, trim = handle2
+        out[big] = np.asarray(trim)
         # release the device buffers eagerly — retry tiers of long
         # sequences allocate multi-GB programs and must not stack up
         # behind Python GC
         for a in dev.values():
             a.delete()
-        buf_trim.delete()
+        trim.delete()
         return self._finish(pairs, out, fallback)
 
     # -- host-side completion -------------------------------------------------
@@ -1027,18 +1037,22 @@ class BatchAligner:
         stats happen in AlignmentResult.process, as in the reference)."""
 
         results: List[Optional[AlignmentResult]] = []
-        # assemble per-pair token streams: start token, the iteration-major
-        # loop buffer flattened per pair, then the tail tokens.  Stats were
-        # computed on device; op decoding is lazy (first .ops access).
+        # Token streams arrive either device-compacted ("toks") or as the
+        # raw three-part stream (start token, iteration-major loop buffer,
+        # tail) to assemble here.  Stats were computed on device; op
+        # decoding is lazy (first .ops access).
         B = len(pairs)
-        buf = np.concatenate(
-            [
-                out["tok0"][:, None],
-                np.transpose(out["buf"], (1, 0, 2)).reshape(B, -1),
-                out["tail"],
-            ],
-            axis=1,
-        )
+        if "toks" in out:
+            buf = out["toks"]
+        else:
+            buf = np.concatenate(
+                [
+                    out["tok0"][:, None],
+                    np.transpose(out["buf"], (1, 0, 2)).reshape(B, -1),
+                    out["tail"],
+                ],
+                axis=1,
+            )
         ga = self.cfg.global_alignment
         overflow = out["overflow"].tolist()
         score = out["score"].tolist()

@@ -752,7 +752,7 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     )
     table_space = pltpu.ANY if stream else pltpu.VMEM
     if stream:
-        table_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+        table_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
     else:
         table_specs = [
             pl.BlockSpec((bb, Lw2 * K), lambda b: (b, 0),
@@ -776,7 +776,7 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         out_specs=[
             pl.BlockSpec((bb, 8), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, 8), jnp.int32),

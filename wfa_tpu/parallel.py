@@ -98,9 +98,13 @@ def dp_align_full(
     tokens and scalars cross the ICI, never the wavefront history.
     """
     lb = _local_b(qb.shape[0], mesh)
+    if max(Lq, Ltb) < (1 << 12):  # device-compacted 16-bit tokens
+        tok_specs = {"toks": P("dp"), "n_tok": P("dp")}
+    else:
+        tok_specs = {"tok0": P("dp"), "buf": P(None, "dp", None),
+                     "tail": P("dp"), "it_used": P("dp")}
     out_specs = {
-        "score": P("dp"), "overflow": P("dp"), "tok0": P("dp"),
-        "buf": P(None, "dp", None), "tail": P("dp"), "it_used": P("dp"),
+        "score": P("dp"), "overflow": P("dp"), **tok_specs,
         "q_begin": P("dp"), "q_end": P("dp"),
         "t_begin": P("dp"), "t_end": P("dp"),
         "align_len": P("dp"), "matches": P("dp"),
