@@ -769,9 +769,27 @@ _run_batch = functools.partial(
 )(_run_batch_impl)
 
 
+_ACGT_LUT = np.full(256, 255, np.uint8)
+for _i, _b in enumerate(b"ACGT"):
+    _ACGT_LUT[_b] = _i
+_ACGT_INV = np.frombuffer(b"ACGT", np.uint8)
+
+
+def _unpack2(pk, L, valid_lo, valid_hi):
+    """Invert BatchAligner._pack2 on device: [B, L//4] uint8 -> [B, L]
+    bytes, zeroed outside [valid_lo, valid_hi) per row."""
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    c = (pk[:, :, None] >> shifts[None, None, :]) & 3
+    c = c.reshape(pk.shape[0], L)
+    base = jnp.asarray(_ACGT_INV)[c]
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    ok = (pos >= valid_lo[:, None]) & (pos < valid_hi[:, None])
+    return jnp.where(ok, base, 0).astype(jnp.uint8)
+
+
 def _align_full_impl(
     qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig, B: int, Lq: int,
-    Ltb: int, engine: str = "jax",
+    Ltb: int, engine: str = "jax", packed: bool = False,
 ):
     """Full on-device alignment: score loop + end finder + backtrace.
 
@@ -786,6 +804,11 @@ def _align_full_impl(
     S = cfg.s_cap
     K = cfg.k_win
     k0 = -toff.astype(jnp.int32)
+    if packed:  # 2-bit DNA upload; reconstruct the byte buffers here
+        zero = jnp.zeros_like(qlen)
+        qb = _unpack2(qb, Lq, zero, qlen.astype(jnp.int32))
+        tbuf = _unpack2(tbuf, Ltb, toff.astype(jnp.int32),
+                        (toff + tlen).astype(jnp.int32))
     if engine == "pallas":
         from .pallas_engine import pallas_run_batch
 
@@ -853,7 +876,7 @@ def _align_full_impl(
 
 
 _align_full = functools.partial(
-    jax.jit, static_argnames=("cfg", "B", "Lq", "Ltb", "engine")
+    jax.jit, static_argnames=("cfg", "B", "Lq", "Ltb", "engine", "packed")
 )(_align_full_impl)
 
 
@@ -922,6 +945,7 @@ class BatchAligner:
             return ((n + g - 1) // g) * g
         Lq = _pad_len(int(qlen.max()))
         Ltb = _pad_len(max(int((toff + tlen).max()), 1))
+        assert Lq % 4 == 0 and Ltb % 4 == 0
         pad = b"\0" * (Ltb + 1)
         toffs = toff.tolist()
         qb = np.frombuffer(
@@ -937,6 +961,23 @@ class BatchAligner:
             np.uint8,
         ).reshape(B, Ltb)
         return qb, tbuf, qlen, tlen, toff, Lq, Ltb
+
+    @staticmethod
+    def _pack2(arr: np.ndarray, lo: np.ndarray, hi: np.ndarray):
+        """2-bit-pack a byte matrix whose in-bounds ([lo, hi) per row)
+        bytes are pure ACGT (4 bases/byte, little pairs first); returns
+        None when other symbols are present in bounds. Pad bytes pack as
+        code 0 and are re-zeroed by the device unpack masks. Host->device
+        uploads shrink 4x."""
+        codes = _ACGT_LUT[arr]
+        pos = np.arange(arr.shape[1])
+        inb = (pos >= lo[:, None]) & (pos < hi[:, None])
+        codes = np.where(inb, codes, 0)
+        if codes.max(initial=0) > 3:
+            return None
+        c = codes.reshape(arr.shape[0], -1, 4)
+        return (c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4)
+                | (c[:, :, 3] << 6)).astype(np.uint8)
 
     def align_batch(
         self,
@@ -977,10 +1018,15 @@ class BatchAligner:
 
             if not supports(self.cfg, Ltb):  # length-dependent VMEM gate
                 engine = "jax"
+        qp = self._pack2(qb, np.zeros_like(qlen), qlen)
+        tp = self._pack2(tbuf, toff, toff + tlen) if qp is not None else None
+        packed = tp is not None
         out = _align_full(
-            jnp.asarray(qb), jnp.asarray(tbuf),
+            jnp.asarray(qp if packed else qb),
+            jnp.asarray(tp if packed else tbuf),
             jnp.asarray(qlen), jnp.asarray(tlen), jnp.asarray(toff),
             cfg=self.cfg, B=B, Lq=Lq, Ltb=Ltb, engine=engine,
+            packed=packed,
         )
         # queue device->host copies now so they overlap the next batch's
         # compute instead of serializing at fetch time; the token buffer
