@@ -169,3 +169,25 @@ def test_windowed_stop_tables_match_oracle():
                               w_win=w_win)
         for (q, t), res in zip(pairs, engine.align_batch(pairs)):
             assert_same(res, oracle.align(q, t), q, t, f"w{w_win}")
+
+
+def test_pack2_upload_packing():
+    """2-bit upload packing engages for padded DNA rows and refuses rows
+    with in-bounds non-ACGT bytes (which must take the raw path)."""
+    import numpy as np
+
+    from wfa_tpu.engine import BatchAligner
+
+    arr = np.zeros((2, 8), np.uint8)
+    arr[0, :5] = np.frombuffer(b"ACGTT", np.uint8)
+    arr[1, :3] = np.frombuffer(b"GGC", np.uint8)
+    lo = np.zeros(2, np.int32)
+    hi = np.array([5, 3], np.int32)
+    pk = BatchAligner._pack2(arr, lo, hi)
+    assert pk is not None and pk.shape == (2, 2)
+    # in-bounds N poisons the row set; out-of-bounds junk must not
+    arr[1, 1] = ord("N")
+    assert BatchAligner._pack2(arr, lo, hi) is None
+    arr[1, 1] = ord("G")
+    arr[0, 6] = ord("N")  # beyond hi[0]
+    assert BatchAligner._pack2(arr, lo, hi) is not None
