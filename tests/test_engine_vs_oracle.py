@@ -171,6 +171,35 @@ def test_windowed_stop_tables_match_oracle():
             assert_same(res, oracle.align(q, t), q, t, f"w{w_win}")
 
 
+def test_match_free_alignment_stats():
+    """Alignments with no M op: the reference's stats span defaults to
+    the FIRST merged final-order op (begin=end=0, wfa_cigar.go:171-211),
+    i.e. the whole trailing same-op run — not just one token."""
+    p = Penalties(4, 6, 2)
+    for opts in (Options(True), Options(False)):
+        oracle = OracleAligner(p, opts, None)
+        engine = BatchAligner(p, opts, None, k_win=128, s_cap=256)
+        pairs = [(b"AC", b"GT"), (b"AAAAAA", b"CCCCCC"), (b"A", b"C"),
+                 (b"AAAA", b"CC")]
+        for (q, t), res in zip(pairs, engine.align_batch(pairs)):
+            assert_same(res, oracle.align(q, t), q, t,
+                        f"no-M {'g' if opts.global_alignment else 's'}")
+
+
+def test_small_step_penalties_large_s_cap():
+    """Small penalty steps with a large score cap overflow the compacted
+    token sort key; the engine must route to the raw token path and stay
+    bit-exact (advisor finding: key << 15 wraps when 2*NS >= 1 << 16)."""
+    p = Penalties(8, 6, 1)
+    oracle = OracleAligner(p, Options(True), None)
+    engine = BatchAligner(p, Options(True), None, k_win=64, s_cap=16384,
+                          engine="jax")
+    rng = random.Random(31)
+    pairs = random_pairs(rng, 4, max_len=30)
+    for (q, t), res in zip(pairs, engine.align_batch(pairs)):
+        assert_same(res, oracle.align(q, t), q, t, "raw-token")
+
+
 def test_pack2_upload_packing():
     """2-bit upload packing engages for padded DNA rows and refuses rows
     with in-bounds non-ACGT bytes (which must take the raw path)."""

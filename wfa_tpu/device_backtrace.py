@@ -146,11 +146,18 @@ def device_stats(tok0, buf, tail, token_shift: int = 28):
     first_m = jnp.min(jnp.where(is_m, pos, NS), axis=1, keepdims=True)
     last_m = jnp.max(jnp.where(is_m, pos, -1), axis=1, keepdims=True)
     # Go's begin/end default to index 0 when no M exists
-    # (wfa_cigar.go:171-187): the span is then just the first final-order
-    # op = the last non-empty token in emission order.
+    # (wfa_cigar.go:171-187): the span is then the first final-order
+    # MERGED op — i.e. the whole trailing emission-order run of non-empty
+    # tokens sharing the last token's code, not just the last token.
     has_m = last_m >= 0
     last_nz = jnp.max(jnp.where(nz, pos, -1), axis=1, keepdims=True)
-    first_m = jnp.where(has_m, first_m, last_nz)
+    last_code = jnp.max(
+        jnp.where(nz & (pos == last_nz), code, -1), axis=1, keepdims=True)
+    mism = nz & (code != last_code)
+    last_mism = jnp.max(jnp.where(mism, pos, -1), axis=1, keepdims=True)
+    first_trail = jnp.min(
+        jnp.where(nz & (pos > last_mism), pos, NS), axis=1, keepdims=True)
+    first_m = jnp.where(has_m, first_m, first_trail)
     last_m = jnp.where(has_m, last_m, last_nz)
     span = nz & (pos >= first_m) & (pos <= last_m)
 
@@ -179,7 +186,9 @@ def compact_tokens(tok0, buf, tail, token_shift):
     moves non-empty tokens to the front of each row (order preserved by a
     position-based key), so the host fetches ~2.5x fewer bytes.
 
-    Only for 16-bit tokens (the packed sort key needs the headroom).
+    Only for 16-bit tokens (the packed sort key needs the headroom), and
+    only while the key `pos + NS` fits the 16 bits above the token —
+    callers must use the raw path otherwise (see engine._align_full_impl).
     Returns (toks [B, NS] int16 with trailing zeros, n_tok [B])."""
     assert token_shift <= 12
     B = tok0.shape[0]
@@ -188,6 +197,8 @@ def compact_tokens(tok0, buf, tail, token_shift):
         axis=1,
     ).astype(jnp.int32)  # [B, NS] emission order
     NS = toks.shape[1]
+    # key <= 2*NS-1 must not reach the int32 sign bit once shifted by 15
+    assert 2 * NS <= (1 << 16), f"token stream too long to compact ({NS})"
     nz = toks != 0
     pos = jnp.arange(NS, dtype=jnp.int32)[None, :]
     key = jnp.where(nz, pos, NS + pos)

@@ -483,6 +483,12 @@ def _run_batch_impl(
         newly = (~st.done) & ex_ms & (off_ak >= tlen)
         final_s = jnp.where(newly, s, st.final_s)
         done = st.done | newly
+        # a pair that terminates at s with a table-window outrun picked up
+        # THIS step never needed the outran extension (its terminal cell
+        # was already past tlen, so extend skips it) — the reference
+        # checks termination before moving on (wfa.go:235-239), so the
+        # result is valid; cancel only bits set this step
+        overflow = jnp.where(newly & ~st.overflow, False, overflow)
 
         # ---------------- reduce (wfa.go:461-540) ----------------
         lo_m_all, hi_m_all = st.lo_m, st.hi_m
@@ -799,7 +805,7 @@ def _align_full_impl(
     pallas_engine.supports) unless ``engine`` says otherwise.
     """
     from .device_backtrace import (compact_tokens, device_backtrace,
-                                   device_stats, end_finder)
+                                   device_stats, end_finder, iter_capacity)
 
     S = cfg.s_cap
     K = cfg.k_win
@@ -846,6 +852,12 @@ def _align_full_impl(
         start_cell = jnp.where(ok_st, jnp.take(flat_m, idx), 0)
     active0 = done & ~overflow
     token_shift = 12 if max(Lq, Ltb) < (1 << 12) else 28
+    # the compacted path packs `(pos + NS) << 15 | token` into int32, so
+    # the emission stream length NS = 2*it_cap + 5 must keep the key out
+    # of the sign bit (small penalty steps with large s_cap overflow it)
+    ns_stream = 2 * iter_capacity(S, cfg.penalties) + 5
+    if token_shift <= 12 and 2 * ns_stream > (1 << 16):
+        token_shift = 28
     tok0, buf, tail, it_used, qb0, qe, tb0, te = device_backtrace(
         aux, start_cell, k0, start_s, start_k, qlen, tlen, active0,
         penalties=cfg.penalties,
@@ -1030,10 +1042,11 @@ class BatchAligner:
         )
         # queue device->host copies now so they overlap the next batch's
         # compute instead of serializing at fetch time; the token buffer
-        # is fetched separately, trimmed to its used rows (the tunnel's
-        # device->host bandwidth is the scarce resource)
+        # ('toks'/'buf', whichever this path emits) is fetched separately,
+        # trimmed to its used rows — shipping it whole here would double
+        # the dominant device->host payload over the slow tunnel
         for k, a in out.items():
-            if k != "buf":
+            if k not in ("buf", "toks"):
                 a.copy_to_host_async()
         return pairs, out
 

@@ -518,6 +518,14 @@ def _kernel(
         final_s = jnp.where(newly, s, final_s)
         term_cell = jnp.where(newly, cell_ak, term_cell)
         done = jnp.where(newly, 1, done)
+        # A pair terminating at s may have picked up a spurious overflow
+        # earlier in this step (REORDER's run_next band-escape for s+1, or
+        # a stop-table window outrun on a diagonal the terminal cell does
+        # not need) — the reference checks termination before next
+        # (wfa.go:235-250), so a terminated pair's result is valid.
+        # Entering this step it had overflow == 0 (live0), so clearing
+        # here only cancels this step's bit.
+        overflow = jnp.where(newly, 0, overflow)
         live = (done == 0) & (overflow == 0)
 
         # ---- wf-adaptive reduce (wfa.go:461-540) ----

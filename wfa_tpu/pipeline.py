@@ -100,7 +100,7 @@ class AlignmentPipeline:
         # window; the JAX fallback (forced at the last tier so pairs that
         # outrun the streaming window still finish on device) reads a
         # w_win-word slice per step
-        engine = "auto"
+        engine = "jax" if (longest > 4096 and tier >= 2) else "auto"
         if longest <= 4096 and k_win <= 512:
             w_win = None
         elif longest <= 4096:
