@@ -73,6 +73,47 @@ def test_cli_no_output_flag():
     assert out == ""
 
 
+def test_cli_bad_pair_does_not_poison_run(tmp_path, capsys):
+    """An empty line in a pair file must produce a per-pair error report
+    while every other pair still aligns (SURVEY §5; the reference guards
+    per call, wfa.go:187-193)."""
+    f = tmp_path / "pairs.txt"
+    f.write_bytes(b">ACCATACTCG\n<AGGATGCTCG\n>\n<ACGT\n>ACGT\n<ACGT\n")
+    rc, out = run_cli("-i", str(f))
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "pair 2" in err and "empty sequence" in err
+    blocks = out.strip("\n").split("\n\n")
+    assert len(blocks) == 4  # two good pairs, two blocks each
+    assert "align-score : 12" in out  # pair 1
+    assert "align-score : 0" in out  # pair 3 (perfect match)
+
+
+def test_pipeline_bad_pairs_masked():
+    from wfa_tpu import AdaptiveReductionOption, Options, Penalties
+    from wfa_tpu.constants import MAX_SEQ_LEN, EmptySeqError, SeqTooLongError
+    from wfa_tpu.pipeline import AlignmentPipeline, PipelineConfig
+
+    class FakeLong(bytes):  # too-long guard without allocating 512MB
+        def __len__(self):
+            return MAX_SEQ_LEN + 1
+
+    pipe = AlignmentPipeline(PipelineConfig(
+        Penalties(4, 6, 2), Options(True), AdaptiveReductionOption(10, 50, 1)))
+    pairs = [(b"ACGT", b"ACGT"), (b"", b"ACGT"), (FakeLong(b"A"), b"ACGT"),
+             (b"ACCATACTCG", b"AGGATGCTCG")]
+    rs = pipe.align_all(pairs)
+    assert rs[0].error is None and rs[0].score == 0
+    assert isinstance(rs[1].error, EmptySeqError)
+    assert isinstance(rs[2].error, SeqTooLongError)
+    assert rs[3].error is None and rs[3].score == 12
+    # host-only path applies the same guards
+    pipe2 = AlignmentPipeline(PipelineConfig(
+        Penalties(4, 6, 2), Options(True), use_device=False))
+    rs2 = pipe2.align_all(pairs[:2])
+    assert rs2[0].score == 0 and isinstance(rs2[1].error, EmptySeqError)
+
+
 def test_cli_missing_args_errors():
     rc, _ = run_cli("ONLYONESEQ")
     assert rc == 1

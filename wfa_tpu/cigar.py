@@ -36,6 +36,7 @@ class AlignmentResult:
         "_processed",
         "_raw_tokens",
         "global_alignment",
+        "error",
     )
 
     def __init__(self, global_alignment: bool = True) -> None:
@@ -54,6 +55,18 @@ class AlignmentResult:
         # were already computed on device in that case
         self._raw_tokens = None
         self.global_alignment = global_alignment
+        # per-pair failure (reference: Align returns (nil, err) per call,
+        # wfa.go:204-209).  Batched pipelines must not let one bad pair
+        # poison its batch, so the error rides on the result instead.
+        self.error: Exception | None = None
+
+    @classmethod
+    def failed(cls, error: Exception) -> "AlignmentResult":
+        """Result carrying a per-pair input error (empty/too-long seq)."""
+        res = cls()
+        res.error = error
+        res._processed = True
+        return res
 
     @property
     def ops(self) -> List[Tuple[str, int]]:

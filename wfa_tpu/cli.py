@@ -172,8 +172,15 @@ def main(argv=None) -> int:
             block = list(itertools.islice(it, 4096))
             if not block:
                 break
-            for (q, t), result in zip(block, pipe.align_all(block)):
-                if not args.no_output:
+            for pair_i, ((q, t), result) in enumerate(
+                    zip(block, pipe.align_all(block))):
+                if result.error is not None:
+                    # the reference CLI exits on any error (wfa-go.go:185-
+                    # 190); a batch pipeline reports the pair and continues
+                    # (SURVEY §5: a bad pair must not poison the run)
+                    print(f"pair {n_done + pair_i + 1}: {result.error}",
+                          file=sys.stderr)
+                elif not args.no_output:
                     _format_result(out, q, t, result, args.trim)
             n_done += len(block)
             if args.resume:

@@ -44,12 +44,13 @@ def _size_class(n: int) -> int:
 
 
 def bucket_pairs(
-    pairs: Iterable[Tuple[bytes, bytes]],
+    indexed_pairs: Iterable[Tuple[int, Tuple[bytes, bytes]]],
 ) -> Dict[Tuple[int, int], List[Tuple[int, Tuple[bytes, bytes]]]]:
     """Group (index, pair) by padded length class, preserving input order
-    within each bucket."""
+    within each bucket.  Takes pre-indexed pairs so callers can filter
+    (e.g. drop invalid pairs) while keeping original result positions."""
     buckets: Dict[Tuple[int, int], List[Tuple[int, Tuple[bytes, bytes]]]] = {}
-    for i, (q, t) in enumerate(pairs):
+    for i, (q, t) in indexed_pairs:
         key = (_size_class(len(q)), _size_class(len(t)))
         buckets.setdefault(key, []).append((i, (q, t)))
     return buckets

@@ -15,7 +15,8 @@ import dataclasses
 from typing import Iterable, List, Optional, Sequence, Tuple
 
 from .cigar import AlignmentResult
-from .constants import AdaptiveReductionOption, Options, Penalties
+from .constants import (MAX_SEQ_LEN, AdaptiveReductionOption, EmptySeqError,
+                        Options, Penalties, SeqTooLongError)
 from .engine import BatchAligner
 from .io import bucket_pairs
 from .oracle import Aligner as OracleAligner
@@ -152,11 +153,27 @@ class AlignmentPipeline:
     ) -> List[AlignmentResult]:
         """Align pairs, returning results in input order."""
         pairs = list(pairs)
-        if not self.cfg.use_device:
-            return [self._oracle.align(q, t) for q, t in pairs]
-
         results: List[Optional[AlignmentResult]] = [None] * len(pairs)
-        buckets = bucket_pairs(pairs)
+        # per-pair input guards (reference: per-call errors, wfa.go:204-209;
+        # SURVEY §5: a bad pair must not poison the batch) — invalid pairs
+        # become error-carrying results, the rest proceed normally
+        valid: List[Tuple[int, Tuple[bytes, bytes]]] = []
+        for i, (q, t) in enumerate(pairs):
+            if len(q) == 0 or len(t) == 0:
+                results[i] = AlignmentResult.failed(
+                    EmptySeqError("wfa: invalid empty sequence"))
+            elif len(q) > MAX_SEQ_LEN or len(t) > MAX_SEQ_LEN:
+                results[i] = AlignmentResult.failed(SeqTooLongError(
+                    f"wfa: sequences longer than {MAX_SEQ_LEN} are not "
+                    "supported"))
+            else:
+                valid.append((i, (q, t)))
+        if not self.cfg.use_device:
+            for i, (q, t) in valid:
+                results[i] = self._oracle.align(q, t)
+            return results  # type: ignore[return-value]
+
+        buckets = bucket_pairs(valid)
         # one work-list per bucket, retried through up to 3 cap tiers;
         # all batches of a tier are submitted before any is fetched, so
         # the device pipeline stays full (dispatch latency is hidden).
