@@ -213,15 +213,19 @@ def device_backtrace(
     aux, start_cell, k0, start_s, start_k, qlen, tlen, active0,
     *, penalties, global_alignment: bool, S: int, K: int,
     token_shift: int = 28, b_stride: int = 0,
+    pairs_on_lanes: bool = False,
 ):
     """Exact device port of the backtrace loop (wfa.go:703-983).
 
-    ``aux`` is the combined int32[3, S, B, K] backtrace-aux tensor: per
-    cell ``offset0 << 3 | tag`` where offset0 is the branch-selected
+    ``aux`` is the combined backtrace-aux tensor: per cell
+    ``offset0 << 3 | tag`` where offset0 is the branch-selected
     pre-extension offset the reference recomputes at that cell
     (wfa.go:757-827) — baked by the forward pass, making each chase step
-    ONE one-cell gather.  ``start_cell`` is the raw packed start M cell
-    (GetRaw at (start_s, start_k), wfa.go:738).
+    ONE one-cell gather.  Layout is ``[3, S, B, K]`` from the JAX engine
+    or ``[3, S, K, B]`` (``pairs_on_lanes``) from the Pallas kernel;
+    both reshape to 2-D leading-dims-only views so the per-step gather
+    stays a cheap (row, lane) 2-D gather.  ``start_cell`` is the raw
+    packed start M cell (GetRaw at (start_s, start_k), wfa.go:738).
 
     Returns (tok0 [B], buf [it_cap, B, 2], tail [B, 4], q_begin, q_end,
     t_begin, t_end): op tokens in emission order tok0, buf[0], buf[1], …,
@@ -243,9 +247,12 @@ def device_backtrace(
         return (code << token_shift) | n
 
     Bs = b_stride or B  # aux batch stride (padded to a block multiple)
-    # leading-dims-only reshape: stays a view of the tiled [.., K] layout
+    # leading-dims-only reshape: stays a view of the tiled layout
     # (a full 1-D flatten would force a multi-GB retiling copy)
-    flat = aux.reshape(3 * S * Bs, K)
+    if pairs_on_lanes:
+        flat = aux.reshape(3 * S * K, Bs)
+    else:
+        flat = aux.reshape(3 * S * Bs, K)
     bidx = jnp.arange(B, dtype=jnp.int32)
     code_tab = jnp.asarray(_TAG2CODE)
 
@@ -256,8 +263,10 @@ def device_backtrace(
         ok = (s >= 0) & (s < S) & (j >= 0) & (j < K)
         sc = jnp.clip(s, 0, S - 1)
         jc = jnp.clip(j, 0, K - 1)
-        row = (comp * S + sc) * Bs + bidx
-        cell = flat[row, jc].astype(jnp.int32)
+        if pairs_on_lanes:
+            cell = flat[(comp * S + sc) * K + jc, bidx].astype(jnp.int32)
+        else:
+            cell = flat[(comp * S + sc) * Bs + bidx, jc].astype(jnp.int32)
         found = ok & (cell > 0)
         cell = jnp.where(found, cell, 0)
         return cell >> TYPE_BITS, cell & ((1 << TYPE_BITS) - 1), found

@@ -1,29 +1,36 @@
-"""Fused Pallas TPU kernel for the WFA score loop.
+"""Fused Pallas TPU kernel for the WFA score loop (pairs-on-lanes).
 
 This is the performance core of the framework (SURVEY.md §7 step 5): the
 reference's entire per-pair score loop — extend (wfa.go:381-458),
 termination (wfa.go:235-239), wf-adaptive reduce (wfa.go:461-540) and
 next (wfa.go:549-700) — runs as ONE Pallas kernel invocation per batch,
-with every per-step data structure resident in VMEM:
+with every per-step data structure resident in VMEM.
 
-* the *stop tables* (precomputed extension bitmasks, see
-  ``engine._stop_tables``) live in VMEM for the whole block, so the
-  match-run (LCP) of every live diagonal is ONE masked pass + clz per
-  score step — no HBM traffic, no gathers, no data-dependent inner loop;
-* the sliding window of wavefronts that ``next`` reads (the last
-  ``max(x, o+e)+1`` scores of M and ``e+1`` of I/D) is a circular VMEM
-  buffer;
-* the full packed-cell history that the backtrace needs is streamed out
-  to HBM with double-buffered async DMA in CH-score chunks, overlapping
-  compute;
-* each block of ``B_BLK`` pairs iterates in lockstep but terminates as
-  soon as *its own* pairs are done, independent of the rest of the batch.
+Layout (the round-2 redesign): **diagonals live on sublanes, pairs on
+lanes** — every tensor is ``[K(+slots) rows, BB pair lanes]``.  Measured
+on v5e, this flips the kernel's cost structure:
+
+* the per-wavefront band bounds (lo/hi/exists) sit in VMEM ref rows, so
+  every KRange/slot access is a dynamic *row* read/write (~free) instead
+  of a masked cross-lane reduce (~160 ns each — the old layout spent
+  >half of every step there);
+* reduces over the diagonal axis (band bounds, wf-adaptive dmin, window
+  outrun checks) are sublane reduces (~5 ns/pair-block vs ~160 ns);
+* the k±1 shifted reads in next() are sublane rolls (~free);
+* four times more pairs per block (BB=128 lanes) amortize the per-step
+  scalar/loop overhead.
+
+Everything else matches the previous design: the *stop tables*
+(precomputed extension bitmasks, ``engine._stop_tables``) make each
+match-run (LCP) one masked select pass + clz; the sliding window of
+wavefronts that ``next`` reads is a circular VMEM buffer; the packed
+backtrace-aux history streams to HBM with double-buffered async DMA in
+CH-score chunks; each block of ``BB`` pairs terminates as soon as its
+own pairs are done.
 
 Cells keep the reference encoding ``offset << 3 | tag`` (0 = absent,
-wfa_wavefront.go:44/93), and the kernel maintains the invariant that a
-cell outside its wavefront's live band [lo, hi] is zero, so downstream
-consumers (device backtrace, semi-global end finder) need only the cell
-values — per-score band arrays never leave the chip.
+wfa_wavefront.go:44/93), and cells outside a wavefront's live band are
+always zero, so downstream consumers need only the cell values.
 
 The JAX lockstep engine (wfa_tpu.engine) computes identical results and
 remains the fallback for configurations the kernel does not support
@@ -54,9 +61,9 @@ from .engine import EngineConfig, _seed_rows, _stop_tables
 
 _BIG = np.int32(1 << 30)
 
-B_BLK = 32  # pairs per kernel block (sublane tiles)
+B_BLK = 128  # pair lanes per kernel block
 CH = 8  # history scores per output DMA chunk
-_NP = 16  # packed per-pair parameter columns
+_NP = 16  # packed per-pair parameter rows
 
 
 def supports(cfg: EngineConfig, Ltb: int) -> bool:
@@ -68,7 +75,7 @@ def supports(cfg: EngineConfig, Ltb: int) -> bool:
     wm = max(p.mismatch, p.gap_open + p.gap_ext) + 1
     if wm > 64 or p.gap_ext + 1 > 64:
         return False
-    if cfg.k_win > 512:  # VMEM budget for the stop tables
+    if cfg.k_win > 512:  # VMEM budget for the window scratch
         return False
     if not cfg.global_alignment:
         return False  # the end finder needs the raw history
@@ -87,6 +94,7 @@ def _kernel(
     params_ref, whi_ref, wlo_ref, fsa_ref, seed0_ref, seedx_ref,
     out_ref, aux_ref,
     m_win, i_win, d_win, am_win, ai_win, ad_win,
+    mb_lo, mb_hi, mb_ex, ib_lo, ib_hi, ib_ex, db_lo, db_hi, db_ex,
     ob_m, ob_i, ob_d, sem, twhi, twlo, tfsa, tsem,
     *, S, K, Lw2, WV, BB, X, OE, E, GLOBAL, REDUCE_ON, MIN_WF_LEN,
     MAX_DIST_DIFF, CELL16,
@@ -96,116 +104,105 @@ def _kernel(
     # slides through VMEM as the block's offsets advance
     WM = max(X, OE) + 1
     WE = E + 1
-    WB = 64  # band-slot lanes (>= WM, WE)
     blk = pl.program_id(0)
 
-    prm = params_ref[:]  # [BB, _NP]
-    qlen = prm[:, 0:1]
-    tlen = prm[:, 1:2]
-    toff = prm[:, 2:3]
-    j_ak = prm[:, 3:4]
-    ovf0 = prm[:, 4:5]
-    lo0 = prm[:, 5:6]
-    hi0 = prm[:, 6:7]
-    ex0 = prm[:, 7:8]
-    lox = prm[:, 8:9]
-    hix = prm[:, 9:10]
-    exx = prm[:, 10:11]
-    ak = prm[:, 11:12]
+    def prow(i):  # [1, BB] per-pair parameter row
+        return params_ref[i:i + 1]
 
-    k0 = -toff
-    ks = k0 + _iota((BB, K), 1)  # [BB, K] diagonal of each column
-    lane_k = _iota((BB, K), 1)
-    lane_b = _iota((BB, WB), 1)
+    qlen = prow(0)
+    tlen = prow(1)
+    toff = prow(2)
+    j_ak = prow(3)
+    ovf0 = prow(4)
+    lo0 = prow(5)
+    hi0 = prow(6)
+    ex0 = prow(7)
+    lox = prow(8)
+    hix = prow(9)
+    exx = prow(10)
+    ak = prow(11)
+
+    k0 = -toff  # [1, BB]
+    row_k = _iota((K, BB), 0)
+    ks = k0 + row_k  # [K, BB] diagonal of each row
 
     # ---- init windows & band slots (seeding, wfa.go:143-184) ----
-    m_win[...] = jnp.zeros((WM, BB, K), jnp.int32)
-    i_win[...] = jnp.zeros((WE, BB, K), jnp.int32)
-    d_win[...] = jnp.zeros((WE, BB, K), jnp.int32)
-    m_win[0] = seed0_ref[:]
+    m_win[...] = jnp.zeros((WM * K, BB), jnp.int32)
+    i_win[...] = jnp.zeros((WE * K, BB), jnp.int32)
+    d_win[...] = jnp.zeros((WE * K, BB), jnp.int32)
+    m_win[0:K] = seed0_ref[:]
     if 0 < X < WM:
-        m_win[X] = seedx_ref[:]
+        m_win[X * K:(X + 1) * K] = seedx_ref[:]
     # aux plane (backtrace pre-extension offsets): seed cells have no
     # sources (the reference's from-itself break), so their aux value is
     # just the tag bits
-    am_win[...] = jnp.zeros((2, BB, K), jnp.int32)
-    ai_win[...] = jnp.zeros((2, BB, K), jnp.int32)
-    ad_win[...] = jnp.zeros((2, BB, K), jnp.int32)
-    am_win[0] = seed0_ref[:] & 7
+    am_win[...] = jnp.zeros((2 * K, BB), jnp.int32)
+    ai_win[...] = jnp.zeros((2 * K, BB), jnp.int32)
+    ad_win[...] = jnp.zeros((2 * K, BB), jnp.int32)
+    am_win[0:K] = seed0_ref[:] & 7
 
-    def band_init(lo_v, hi_v, ex_v, slot):
-        sel = lane_b == slot
-        return (
-            jnp.where(sel, lo_v, _BIG),
-            jnp.where(sel, hi_v, -_BIG),
-            jnp.where(sel, ex_v, 0),
-        )
+    mb_lo[...] = jnp.full((WM, BB), _BIG, jnp.int32)
+    mb_hi[...] = jnp.full((WM, BB), -_BIG, jnp.int32)
+    mb_ex[...] = jnp.zeros((WM, BB), jnp.int32)
+    mb_lo[0:1] = lo0
+    mb_hi[0:1] = hi0
+    mb_ex[0:1] = ex0
+    if 0 < X < WM:
+        mb_lo[X:X + 1] = lox
+        mb_hi[X:X + 1] = hix
+        mb_ex[X:X + 1] = exx
+    ib_lo[...] = jnp.full((WE, BB), _BIG, jnp.int32)
+    ib_hi[...] = jnp.full((WE, BB), -_BIG, jnp.int32)
+    ib_ex[...] = jnp.zeros((WE, BB), jnp.int32)
+    db_lo[...] = jnp.full((WE, BB), _BIG, jnp.int32)
+    db_hi[...] = jnp.full((WE, BB), -_BIG, jnp.int32)
+    db_ex[...] = jnp.zeros((WE, BB), jnp.int32)
 
-    m_lo, m_hi, m_ex = band_init(lo0, hi0, ex0, 0)
-    if 0 < X:
-        sel = lane_b == X
-        m_lo = jnp.where(sel, lox, m_lo)
-        m_hi = jnp.where(sel, hix, m_hi)
-        m_ex = jnp.where(sel, exx, m_ex)
-    i_lo = jnp.full((BB, WB), _BIG, jnp.int32)
-    i_hi = jnp.full((BB, WB), -_BIG, jnp.int32)
-    i_ex = jnp.zeros((BB, WB), jnp.int32)
-    d_lo, d_hi, d_ex = i_lo, i_hi, i_ex
-
-    def slot_read(arr, slot):
-        """[BB, WB] band array -> [BB, 1] value at lane `slot`."""
-        return jnp.sum(jnp.where(lane_b == slot, arr, 0), axis=1,
-                       keepdims=True)
-
-    def slot_write(arr, slot, val):
-        return jnp.where(lane_b == slot, val, arr)
-
-    def src_read(win, lo_a, hi_a, ex_a, s2, diff, W):
+    def src_read(win, lo_r, hi_r, ex_r, s2, diff, W):
         """Fused KRange (wfa_component.go:91-101, with its (0,0) fallback)
-        + GetAfterDiff row read (wfa_component.go:158) for one source."""
+        + GetAfterDiff row read (wfa_component.go:158) for one source.
+        ``s2`` is the lockstep scalar score, so the slot is a scalar and
+        every access is a dynamic-row read."""
         sp = s2 - diff
         okd = sp >= 0
         slot = lax.rem(jnp.maximum(sp, 0), W)
-        sel = lane_b == slot
-        lo_sp = jnp.sum(jnp.where(sel, lo_a, 0), axis=1, keepdims=True)
-        hi_sp = jnp.sum(jnp.where(sel, hi_a, 0), axis=1, keepdims=True)
-        ex_sp = (jnp.sum(jnp.where(sel, ex_a, 0), axis=1,
-                         keepdims=True) > 0) & okd
+        lo_sp = lo_r[pl.ds(slot, 1)]  # [1, BB]
+        hi_sp = hi_r[pl.ds(slot, 1)]
+        ex_sp = (ex_r[pl.ds(slot, 1)] > 0) & okd
         lo_kr = jnp.where(ex_sp, lo_sp, 0)
         hi_kr = jnp.where(ex_sp, hi_sp, 0)
-        row = win[pl.ds(slot, 1)][0]  # [BB, K]
+        row = win[pl.ds(slot * K, K)]  # [K, BB]
         found = ex_sp & (ks >= lo_sp) & (ks <= hi_sp) & (row > 0)
         return lo_kr, hi_kr, jnp.where(found, row >> TYPE_BITS, 0), found
 
     def shift_km1(row):
-        r = pltpu.roll(row, 1, axis=1)
-        return jnp.where(lane_k == 0, 0, r)
+        r = pltpu.roll(row, 1, axis=0)
+        return jnp.where(row_k == 0, 0, r)
 
     def shift_kp1(row):
-        r = pltpu.roll(row, K - 1, axis=1)
-        return jnp.where(lane_k == K - 1, 0, r)
+        r = pltpu.roll(row, K - 1, axis=0)
+        return jnp.where(row_k == K - 1, 0, r)
 
     def hist_dma(comp, ob, c):
         # destination: component plane `comp` of the combined backtrace
-        # aux tensor int32[3, S, B, K] (offset0 << 3 | tag per cell;
-        # plane-major so each DMA row is contiguous)
+        # aux tensor [3, S, K, Bp] (offset0 << 3 | tag per cell)
         slot = lax.rem(c, 2)
         return pltpu.make_async_copy(
             ob.at[slot],
-            aux_ref.at[comp, pl.ds(c * CH, CH), pl.ds(blk * BB, BB)],
+            aux_ref.at[comp, pl.ds(c * CH, CH), :, pl.ds(blk * BB, BB)],
             sem.at[slot, comp],
         )
 
     def table_dma(idx, src_ref, dst_ref, base):
         return pltpu.make_async_copy(
-            src_ref.at[pl.ds(blk * BB, BB), pl.ds(base * K, WV * K)],
+            src_ref.at[pl.ds(base * K, WV * K), pl.ds(blk * BB, BB)],
             dst_ref,
             tsem.at[idx],
         )
 
     def delete_range_asc(dl, dh, lo, hi):
         """Ascending Delete sweep over [dl, dh] on band [lo, hi]
-        (wfa_wavefront.go:171-183 via wfa.go:526-535)."""
+        (wfa_wavefront.go:171-183 via wfa.go:526-535); [1, BB] rows."""
         nonempty = (dl <= dh) & (lo <= dh) & (hi >= dl)
         z_lo = jnp.maximum(dl, lo)
         z_hi = jnp.minimum(dh, hi)
@@ -219,14 +216,13 @@ def _kernel(
         z_hi = jnp.where(nonempty, z_hi, 0)
         return new_lo, new_hi, z_lo, z_hi
 
-
     def select_chain(n, load_hi, load_lo, load_fsa, w2, base=None):
         """One-hot select over n word groups, split into 4 independent
         sub-chains so the accumulator dependency depth is ~n/4 (the body
         is latency-bound); one-hot partials merge with | / min."""
-        hi = [jnp.zeros((BB, K), jnp.int32) for _ in range(4)]
-        lo = [jnp.zeros((BB, K), jnp.int32) for _ in range(4)]
-        fs = [jnp.full((BB, K), _BIG, jnp.int32) for _ in range(4)]
+        hi = [jnp.zeros((K, BB), jnp.int32) for _ in range(4)]
+        lo = [jnp.zeros((K, BB), jnp.int32) for _ in range(4)]
+        fs = [jnp.full((K, BB), _BIG, jnp.int32) for _ in range(4)]
         for w in range(n):
             c = w & 3
             m = w2 == (w if base is None else base + w)
@@ -239,6 +235,16 @@ def _kernel(
                            jnp.minimum(fs[2], fs[3]))
         return word_hi, word_lo, fsa0
 
+    def smax(x, mask):
+        """Masked sublane max [K, BB] -> [1, BB]."""
+        return jnp.max(jnp.where(mask, x, -_BIG), axis=0, keepdims=True)
+
+    def smin(x, mask):
+        return jnp.min(jnp.where(mask, x, _BIG), axis=0, keepdims=True)
+
+    def sany(mask):
+        return jnp.max(jnp.where(mask, 1, 0), axis=0, keepdims=True) > 0
+
     # ---------------- the score loop ----------------
     # With x >= 2, e >= 2 and o+e >= 2, next(s+1) reads only rows/bands
     # older than anything extend/reduce(s) writes (all its source slots
@@ -247,14 +253,16 @@ def _kernel(
     # interleave.  For degenerate penalties the reference order is kept.
     REORDER = X >= 2 and E >= 2 and OE >= 2
 
-    def run_next(s, done, overflow, live_in, bands):
+    def run_next(s, done, overflow, live_in):
         """WF_NEXT (wfa.go:549-700) + backtrace-aux row construction."""
-        (m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex) = bands
         s2 = s + 1
-        lo_x, hi_x, mx, f_mx = src_read(m_win, m_lo, m_hi, m_ex, s2, X, WM)
-        lo_o, hi_o, moe, f_moe = src_read(m_win, m_lo, m_hi, m_ex, s2, OE, WM)
-        lo_ie, hi_ie, ie, f_ie = src_read(i_win, i_lo, i_hi, i_ex, s2, E, WE)
-        lo_de, hi_de, de, f_de = src_read(d_win, d_lo, d_hi, d_ex, s2, E, WE)
+        lo_x, hi_x, mx, f_mx = src_read(m_win, mb_lo, mb_hi, mb_ex, s2, X, WM)
+        lo_o, hi_o, moe, f_moe = src_read(m_win, mb_lo, mb_hi, mb_ex, s2,
+                                          OE, WM)
+        lo_ie, hi_ie, ie, f_ie = src_read(i_win, ib_lo, ib_hi, ib_ex, s2,
+                                          E, WE)
+        lo_de, hi_de, de, f_de = src_read(d_win, db_lo, db_hi, db_ex, s2,
+                                          E, WE)
 
         hi_n = jnp.minimum(
             tlen - 1,
@@ -344,84 +352,73 @@ def _kernel(
         slot_s2e = lax.rem(s2, WE)
         at_seed = (s2 == X) if X > 0 else False
         if X > 0:
-            cur = m_win[pl.ds(slot_s2, 1)][0]
+            cur = m_win[pl.ds(slot_s2 * K, K)]
             row_m_old = jnp.where(at_seed, cur, 0)
-            ex_m_old = jnp.where(at_seed, slot_read(m_ex, slot_s2), 0) > 0
-            lo_m_old = slot_read(m_lo, slot_s2)
-            hi_m_old = slot_read(m_hi, slot_s2)
+            ex_m_old = jnp.where(at_seed,
+                                 mb_ex[pl.ds(slot_s2, 1)], 0) > 0
+            lo_m_old = mb_lo[pl.ds(slot_s2, 1)]
+            hi_m_old = mb_hi[pl.ds(slot_s2, 1)]
         else:
-            row_m_old = jnp.zeros((BB, K), jnp.int32)
-            ex_m_old = jnp.zeros((BB, 1), bool)
-            lo_m_old = jnp.full((BB, 1), _BIG, jnp.int32)
-            hi_m_old = jnp.full((BB, 1), -_BIG, jnp.int32)
+            row_m_old = jnp.zeros((K, BB), jnp.int32)
+            ex_m_old = jnp.zeros((1, BB), bool)
+            lo_m_old = jnp.full((1, BB), _BIG, jnp.int32)
+            hi_m_old = jnp.full((1, BB), -_BIG, jnp.int32)
         row_m_new = jnp.where(wr_m, (Msk << TYPE_BITS) | tag_m, row_m_old)
         aux_m_new = jnp.where(wr_m, (aux_m_val << TYPE_BITS) | tag_m,
                               row_m_old & 7)
 
-        any_i = jnp.any(wr_i, axis=1)[:, None]
-        any_d = jnp.any(wr_d, axis=1)[:, None]
-        any_m = jnp.any(wr_m, axis=1)[:, None]
-        lo_i_n = jnp.min(jnp.where(wr_i, ks, _BIG), axis=1, keepdims=True)
-        hi_i_n = jnp.max(jnp.where(wr_i, ks, -_BIG), axis=1, keepdims=True)
-        lo_d_n = jnp.min(jnp.where(wr_d, ks, _BIG), axis=1, keepdims=True)
-        hi_d_n = jnp.max(jnp.where(wr_d, ks, -_BIG), axis=1, keepdims=True)
-        lo_m_n = jnp.minimum(
-            jnp.min(jnp.where(wr_m, ks, _BIG), axis=1, keepdims=True),
-            jnp.where(ex_m_old, lo_m_old, _BIG))
-        hi_m_n = jnp.maximum(
-            jnp.max(jnp.where(wr_m, ks, -_BIG), axis=1, keepdims=True),
-            jnp.where(ex_m_old, hi_m_old, -_BIG))
+        any_i = sany(wr_i)
+        any_d = sany(wr_d)
+        any_m = sany(wr_m)
+        lo_i_n = smin(ks, wr_i)
+        hi_i_n = smax(ks, wr_i)
+        lo_d_n = smin(ks, wr_d)
+        hi_d_n = smax(ks, wr_d)
+        lo_m_n = jnp.minimum(smin(ks, wr_m),
+                             jnp.where(ex_m_old, lo_m_old, _BIG))
+        hi_m_n = jnp.maximum(smax(ks, wr_m),
+                             jnp.where(ex_m_old, hi_m_old, -_BIG))
 
         frz = ~live
-        i_win[pl.ds(slot_s2e, 1)] = jnp.where(frz, 0, row_i_new)[None]
-        d_win[pl.ds(slot_s2e, 1)] = jnp.where(frz, 0, row_d_new)[None]
-        m_win[pl.ds(slot_s2, 1)] = jnp.where(
-            frz, jnp.where(at_seed, row_m_old, 0), row_m_new)[None]
+        i_win[pl.ds(slot_s2e * K, K)] = jnp.where(frz, 0, row_i_new)
+        d_win[pl.ds(slot_s2e * K, K)] = jnp.where(frz, 0, row_d_new)
+        m_win[pl.ds(slot_s2 * K, K)] = jnp.where(
+            frz, jnp.where(at_seed, row_m_old, 0), row_m_new)
         slot_s2a = lax.rem(s2, 2)
-        ai_win[pl.ds(slot_s2a, 1)] = jnp.where(frz, 0, aux_i_new)[None]
-        ad_win[pl.ds(slot_s2a, 1)] = jnp.where(frz, 0, aux_d_new)[None]
-        am_win[pl.ds(slot_s2a, 1)] = jnp.where(
-            frz, jnp.where(at_seed, row_m_old & 7, 0), aux_m_new)[None]
+        ai_win[pl.ds(slot_s2a * K, K)] = jnp.where(frz, 0, aux_i_new)
+        ad_win[pl.ds(slot_s2a * K, K)] = jnp.where(frz, 0, aux_d_new)
+        am_win[pl.ds(slot_s2a * K, K)] = jnp.where(
+            frz, jnp.where(at_seed, row_m_old & 7, 0), aux_m_new)
 
-        i_lo = slot_write(i_lo, slot_s2e,
-                          jnp.where(frz | ~any_i, _BIG, lo_i_n))
-        i_hi = slot_write(i_hi, slot_s2e,
-                          jnp.where(frz | ~any_i, -_BIG, hi_i_n))
-        i_ex = slot_write(i_ex, slot_s2e,
-                          jnp.where(frz, 0, any_i.astype(jnp.int32)))
-        d_lo = slot_write(d_lo, slot_s2e,
-                          jnp.where(frz | ~any_d, _BIG, lo_d_n))
-        d_hi = slot_write(d_hi, slot_s2e,
-                          jnp.where(frz | ~any_d, -_BIG, hi_d_n))
-        d_ex = slot_write(d_ex, slot_s2e,
-                          jnp.where(frz, 0, any_d.astype(jnp.int32)))
+        ib_lo[pl.ds(slot_s2e, 1)] = jnp.where(frz | ~any_i, _BIG, lo_i_n)
+        ib_hi[pl.ds(slot_s2e, 1)] = jnp.where(frz | ~any_i, -_BIG, hi_i_n)
+        ib_ex[pl.ds(slot_s2e, 1)] = jnp.where(
+            frz, 0, any_i.astype(jnp.int32))
+        db_lo[pl.ds(slot_s2e, 1)] = jnp.where(frz | ~any_d, _BIG, lo_d_n)
+        db_hi[pl.ds(slot_s2e, 1)] = jnp.where(frz | ~any_d, -_BIG, hi_d_n)
+        db_ex[pl.ds(slot_s2e, 1)] = jnp.where(
+            frz, 0, any_d.astype(jnp.int32))
         keep_m = any_m | ex_m_old
-        m_lo = slot_write(
-            m_lo, slot_s2,
-            jnp.where(frz, jnp.where(ex_m_old, lo_m_old, _BIG),
-                      jnp.where(keep_m, lo_m_n, _BIG)))
-        m_hi = slot_write(
-            m_hi, slot_s2,
-            jnp.where(frz, jnp.where(ex_m_old, hi_m_old, -_BIG),
-                      jnp.where(keep_m, hi_m_n, -_BIG)))
-        m_ex = slot_write(
-            m_ex, slot_s2,
-            jnp.where(frz, ex_m_old.astype(jnp.int32),
-                      keep_m.astype(jnp.int32)))
+        mb_lo[pl.ds(slot_s2, 1)] = jnp.where(
+            frz, jnp.where(ex_m_old, lo_m_old, _BIG),
+            jnp.where(keep_m, lo_m_n, _BIG))
+        mb_hi[pl.ds(slot_s2, 1)] = jnp.where(
+            frz, jnp.where(ex_m_old, hi_m_old, -_BIG),
+            jnp.where(keep_m, hi_m_n, -_BIG))
+        mb_ex[pl.ds(slot_s2, 1)] = jnp.where(
+            frz, ex_m_old.astype(jnp.int32), keep_m.astype(jnp.int32))
 
-        return overflow, (m_lo, m_hi, m_ex, i_lo, i_hi, i_ex,
-                          d_lo, d_hi, d_ex)
+        return overflow
 
     def body(carry):
-        (s, done, overflow, final_s, term_cell, wbase,
-         m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex) = carry
+        (s, done, overflow, final_s, term_cell, wbase) = carry
 
-        live0 = (done == 0) & (overflow == 0)  # [BB, 1]
+        live0 = (done == 0) & (overflow == 0)  # [1, BB]
         slot_s = lax.rem(s, WM)
         slot_se = lax.rem(s, WE)
-        lo_ms = slot_read(m_lo, slot_s)
-        hi_ms = slot_read(m_hi, slot_s)
-        ex_ms = slot_read(m_ex, slot_s) > 0
+        lo_ms = mb_lo[pl.ds(slot_s, 1)]
+        hi_ms = mb_hi[pl.ds(slot_s, 1)]
+        ex_ms = mb_ex[pl.ds(slot_s, 1)] > 0
 
         # -- DMA bookkeeping: before writing into this chunk's obuf slot,
         # wait out the DMA issued two chunks ago on the same slot.
@@ -433,18 +430,16 @@ def _kernel(
             hist_dma(1, ob_i, c - 2).wait()
             hist_dma(2, ob_d, c - 2).wait()
 
-        bands = (m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex)
         if REORDER:
             # a pair that terminates at s harmlessly writes s+1 rows
             # (never read: rows above final_s are ignored downstream)
-            overflow, bands = run_next(s, done, overflow, live0, bands)
-            (m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex) = bands
+            overflow = run_next(s, done, overflow, live0)
 
         # ---- extend (wfa.go:381-458) ----
         # One select-chain pass over the 64-bit stop words plus a 64-bit
         # clz; runs crossing the 64-bit group resolve via the
         # first-stop-after table.  No gathers, no data-dependent loop.
-        cell = m_win[pl.ds(slot_s, 1)][0]
+        cell = m_win[pl.ds(slot_s * K, K)]
         off = cell >> TYPE_BITS
         valid = (cell > 0) & (ks >= lo_ms) & (ks <= hi_ms) & ex_ms & live0
         h0 = off
@@ -455,9 +450,9 @@ def _kernel(
         if not STREAM:
             word_hi, word_lo, fsa0 = select_chain(
                 Lw2,
-                lambda w: whi_ref[:, w * K:(w + 1) * K],
-                lambda w: wlo_ref[:, w * K:(w + 1) * K],
-                lambda w: fsa_ref[:, w * K:(w + 1) * K],
+                lambda w: whi_ref[w * K:(w + 1) * K],
+                lambda w: wlo_ref[w * K:(w + 1) * K],
+                lambda w: fsa_ref[w * K:(w + 1) * K],
                 w2)
         else:
             # slide the VMEM window when any live lane leaves it; offsets
@@ -480,14 +475,13 @@ def _kernel(
             wbase = jnp.where(refill, wmin, wbase)
             wbase_n = wbase
             outrun = act0 & (w2 >= wbase_n + WV)
-            overflow = jnp.where(
-                jnp.any(outrun, axis=1)[:, None] & live0, 1, overflow)
+            overflow = jnp.where(sany(outrun) & live0, 1, overflow)
             act0 = act0 & ~outrun
             word_hi, word_lo, fsa0 = select_chain(
                 WV,
-                lambda j: twhi[:, j * K:(j + 1) * K],
-                lambda j: twlo[:, j * K:(j + 1) * K],
-                lambda j: tfsa[:, j * K:(j + 1) * K],
+                lambda j: twhi[j * K:(j + 1) * K],
+                lambda j: twlo[j * K:(j + 1) * K],
+                lambda j: tfsa[j * K:(j + 1) * K],
                 w2, base=wbase_n)
         r = c0 & 63
         rl = jnp.maximum(r - 32, 0)  # clamped: unused branch must not trap
@@ -510,7 +504,7 @@ def _kernel(
                           cell)
 
         # ---- termination (wfa.go:235-239) ----
-        cell_ak = jnp.sum(jnp.where(lane_k == j_ak, row_m, 0), axis=1,
+        cell_ak = jnp.sum(jnp.where(row_k == j_ak, row_m, 0), axis=0,
                           keepdims=True)
         found_ak = ex_ms & (ak >= lo_ms) & (ak <= hi_ms) & (cell_ak > 0)
         off_ak = jnp.where(found_ak, cell_ak >> TYPE_BITS, 0)
@@ -529,8 +523,8 @@ def _kernel(
         live = (done == 0) & (overflow == 0)
 
         # ---- wf-adaptive reduce (wfa.go:461-540) ----
-        row_i = i_win[pl.ds(slot_se, 1)][0]
-        row_d = d_win[pl.ds(slot_se, 1)][0]
+        row_i = i_win[pl.ds(slot_se * K, K)]
+        row_d = d_win[pl.ds(slot_se * K, K)]
         if REDUCE_ON:
             red = ex_ms & live & ((hi_ms - lo_ms + 1) >= MIN_WF_LEN)
             offc = row_m >> TYPE_BITS
@@ -539,19 +533,14 @@ def _kernel(
             validc = (row_m > 0) & (ks >= lo_ms) & (ks <= hi_ms)
             okd = validc & ~((vs < 0) | (vs >= qlen) | (hs >= tlen))
             dist = jnp.maximum(tlen - hs, qlen - vs)
-            dmin = jnp.min(jnp.where(okd, dist, _BIG), axis=1, keepdims=True)
+            dmin = smin(dist, okd)
             marked = okd & ((dist - dmin) > MAX_DIST_DIFF)
             good = okd & ~marked
-            jj = lane_k
-            first_good = jnp.min(jnp.where(good, jj, _BIG), axis=1,
-                                 keepdims=True)
-            last_mark = jnp.max(
-                jnp.where(marked & (jj < first_good), jj, -_BIG),
-                axis=1, keepdims=True)
-            any_marked = jnp.any(marked, axis=1)[:, None]
-            any_good = jnp.any(good, axis=1)[:, None]
-            last_good = jnp.max(jnp.where(good, jj, -_BIG), axis=1,
-                                keepdims=True)
+            first_good = smin(row_k, good)
+            last_mark = smax(row_k, marked & (row_k < first_good))
+            any_marked = sany(marked)
+            any_good = sany(good)
+            last_good = smax(row_k, good)
             new_lo = jnp.where(last_mark > -_BIG, k0 + last_mark + 1, lo_ms)
             new_hi = jnp.where(any_marked & any_good, k0 + last_good, hi_ms)
             new_lo = jnp.where(red, new_lo, lo_ms)
@@ -559,14 +548,14 @@ def _kernel(
 
             zero_m = validc & ((ks < new_lo) | (ks > new_hi)) & red
             row_m = jnp.where(zero_m, 0, row_m)
-            m_lo = slot_write(m_lo, slot_s, jnp.where(red, new_lo, lo_ms))
-            m_hi = slot_write(m_hi, slot_s, jnp.where(red, new_hi, hi_ms))
+            mb_lo[pl.ds(slot_s, 1)] = jnp.where(red, new_lo, lo_ms)
+            mb_hi[pl.ds(slot_s, 1)] = jnp.where(red, new_hi, hi_ms)
 
             # co-deletion from I and D (wfa.go:526-535)
-            def co_delete(row_c, lo_a, hi_a, ex_a, slot):
-                lo_cs = slot_read(lo_a, slot)
-                hi_cs = slot_read(hi_a, slot)
-                gate = red & (slot_read(ex_a, slot) > 0)
+            def co_delete(row_c, lo_r, hi_r, ex_r, slot):
+                lo_cs = lo_r[pl.ds(slot, 1)]
+                hi_cs = hi_r[pl.ds(slot, 1)]
+                gate = red & (ex_r[pl.ds(slot, 1)] > 0)
                 l1, h1, zl1, zh1 = delete_range_asc(
                     lo_ms, new_lo - 1, lo_cs, hi_cs)
                 l2, h2, zl2, zh2 = delete_range_asc(
@@ -574,16 +563,16 @@ def _kernel(
                 zero = gate & (((ks >= zl1) & (ks <= zh1))
                                | ((ks >= zl2) & (ks <= zh2)))
                 row_c = jnp.where(zero, 0, row_c)
-                lo_a = slot_write(lo_a, slot, jnp.where(gate, l2, lo_cs))
-                hi_a = slot_write(hi_a, slot, jnp.where(gate, h2, hi_cs))
-                return row_c, lo_a, hi_a
+                lo_r[pl.ds(slot, 1)] = jnp.where(gate, l2, lo_cs)
+                hi_r[pl.ds(slot, 1)] = jnp.where(gate, h2, hi_cs)
+                return row_c
 
-            row_i, i_lo, i_hi = co_delete(row_i, i_lo, i_hi, i_ex, slot_se)
-            row_d, d_lo, d_hi = co_delete(row_d, d_lo, d_hi, d_ex, slot_se)
-            i_win[pl.ds(slot_se, 1)] = row_i[None]
-            d_win[pl.ds(slot_se, 1)] = row_d[None]
+            row_i = co_delete(row_i, ib_lo, ib_hi, ib_ex, slot_se)
+            row_d = co_delete(row_d, db_lo, db_hi, db_ex, slot_se)
+            i_win[pl.ds(slot_se * K, K)] = row_i
+            d_win[pl.ds(slot_se * K, K)] = row_d
 
-        m_win[pl.ds(slot_s, 1)] = row_m[None]
+        m_win[pl.ds(slot_s * K, K)] = row_m
 
         # ---- stream backtrace-aux row s to HBM ----
         # aux row values were final at creation (aux = pre-extension
@@ -593,9 +582,9 @@ def _kernel(
         oslot = lax.rem(c, 2)
         wrote = live0
         slot_sa = lax.rem(s, 2)
-        am = am_win[pl.ds(slot_sa, 1)][0]
-        ai = ai_win[pl.ds(slot_sa, 1)][0]
-        ad = ad_win[pl.ds(slot_sa, 1)][0]
+        am = am_win[pl.ds(slot_sa * K, K)]
+        ai = ai_win[pl.ds(slot_sa * K, K)]
+        ad = ad_win[pl.ds(slot_sa * K, K)]
         ob_m[pl.ds(oslot, 1), pl.ds(och, 1)] = jnp.where(
             wrote & (row_m != 0), am, 0).astype(cell_dtype)[None, None]
         ob_i[pl.ds(oslot, 1), pl.ds(och, 1)] = jnp.where(
@@ -610,23 +599,20 @@ def _kernel(
             hist_dma(2, ob_d, c).start()
 
         if not REORDER:
-            bands = (m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex)
-            overflow, bands = run_next(s, done, overflow, live, bands)
-            (m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex) = bands
+            overflow = run_next(s, done, overflow, live)
 
-        return (s + 1, done, overflow, final_s, term_cell, wbase,
-                m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex)
+        return (s + 1, done, overflow, final_s, term_cell, wbase)
 
     def cond(carry):
         s = carry[0]
         done, overflow = carry[1], carry[2]
         return (s < S - 1) & jnp.any((done == 0) & (overflow == 0))
 
-    z1 = jnp.zeros((BB, 1), jnp.int32)
-    carry = (jnp.int32(0), z1, ovf0, z1, z1, jnp.int32(-WV),
-             m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex)
+    z1 = jnp.zeros((1, BB), jnp.int32)
+    carry = (jnp.int32(0), z1, ovf0, z1, z1, jnp.int32(-WV))
     carry = lax.while_loop(cond, body, carry)
-    s_exit, done, overflow, final_s, term_cell = carry[:5]
+    s_exit, done, overflow, final_s, term_cell = (
+        carry[0], carry[1], carry[2], carry[3], carry[4])
 
     # flush the partial output chunk and drain outstanding DMAs
     nchunks = (s_exit + CH - 1) // CH
@@ -651,24 +637,26 @@ def _kernel(
 
     overflow = jnp.where(done == 0, 1, overflow)
     res = jnp.concatenate(
-        [final_s, done, overflow, jnp.broadcast_to(s_exit, (BB, 1)),
-         term_cell] + [z1] * 3, axis=1)
+        [final_s, done, overflow, jnp.broadcast_to(s_exit, (1, BB)),
+         term_cell] + [z1] * 3, axis=0)
     out_ref[:] = res
 
 
 def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
                      B: int, Lq: int, Ltb: int, interpret: bool = False,
-                     wv: int = 0):
+                     wv: int = 0, bb: int = 0):
     """Run the fused score-loop kernel; returns
-    (final_s, done, overflow, term_cell, aux[3, S, B, K]) for B pairs.
+    (final_s, done, overflow, term_cell, aux[3, S, K, Bp], Bp) for B pairs.
 
     ``aux`` holds, per cell, the backtrace's branch-selected
     pre-extension offset and the cell tag (``offset0 << 3 | tag``, 0 =
     absent) — everything the device backtrace's chase needs in ONE value;
-    ``term_cell`` is the raw packed M cell at (final_s, Ak) that
-    triggered termination (the backtrace start point).  Rows above a
-    pair's final score and overflow pairs' columns contain garbage —
-    consumers must respect final_s/overflow."""
+    pairs live on the LAST axis (lanes), matching the kernel layout —
+    consumers index it as ``aux[comp, s, k - k0, b]``.  ``term_cell`` is
+    the raw packed M cell at (final_s, Ak) that triggered termination
+    (the backtrace start point).  Rows above a pair's final score and
+    overflow pairs' lanes contain garbage — consumers must respect
+    final_s/overflow."""
     p = cfg.penalties
     S, K = cfg.s_cap, cfg.k_win
     assert supports(cfg, Ltb), "config not supported by the fused kernel"
@@ -691,15 +679,14 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         words = jnp.pad(words, ((0, 0), (0, 0), (0, 1)))
         fsa = jnp.pad(fsa, ((0, 0), (0, 0), (0, 1)),
                       constant_values=int(_BIG))
-    whi = jnp.transpose(words[..., 0::2], (0, 2, 1))  # [B, Lw2, K]
-    wlo = jnp.transpose(words[..., 1::2], (0, 2, 1))
-    fsa64 = jnp.transpose(fsa[..., 1::2], (0, 2, 1))
-    Lw2 = whi.shape[1]
-    # flatten to 2-D so the kernel's select chain uses cheap static lane
-    # slices (3-D ref slicing costs a relayout per load)
-    whi = whi.reshape(B, Lw2 * K)
-    wlo = wlo.reshape(B, Lw2 * K)
-    fsa64 = fsa64.reshape(B, Lw2 * K)
+    # group-major rows, pairs on lanes: [Lw2*K, B]
+    whi = jnp.transpose(words[..., 0::2], (2, 1, 0))  # [Lw2, K, B]
+    wlo = jnp.transpose(words[..., 1::2], (2, 1, 0))
+    fsa64 = jnp.transpose(fsa[..., 1::2], (2, 1, 0))
+    Lw2 = whi.shape[0]
+    whi = whi.reshape(Lw2 * K, B)
+    wlo = wlo.reshape(Lw2 * K, B)
+    fsa64 = fsa64.reshape(Lw2 * K, B)
 
     (row0, lo0, hi0, ex0), (rowx, lox, hix, exx) = _seed_rows(
         qb, tbuf, qlen, tlen, toff,
@@ -707,41 +694,47 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         K=K, Lq=Lq, Ltb=Ltb)
     if p.mismatch >= S:
         overflow0 = overflow0 | exx
+    row0 = row0.T  # [K, B]
+    rowx = rowx.T
 
     params = jnp.stack(
         [qlen, tlen, toff, Ak - k0, overflow0.astype(jnp.int32),
          lo0, hi0, ex0.astype(jnp.int32),
          lox, hix, exx.astype(jnp.int32), Ak]
-        + [jnp.zeros_like(qlen)] * (_NP - 12), axis=1)
+        + [jnp.zeros_like(qlen)] * (_NP - 12), axis=0)  # [_NP, B]
 
-    # block size: 32 pairs amortizes per-op cost (vector ops cost much
-    # the same regardless of sublane occupancy, so block padding is nearly
-    # free); shrink only when a block's aux plane would strain HBM
-    bb = B_BLK
-    while bb > 8 and S * K * bb * 12 > (6 << 30):
-        bb //= 2
-    # pad the batch to a block multiple (padding rows are overflow)
+    # block size: 128 pair lanes amortize the per-step fixed cost.  On
+    # hardware the lane-axis DMA slices (aux history, streamed tables)
+    # must be 128-aligned, so bb is fixed at 128 there (small batches
+    # pad); interpret mode (CPU tests) shrinks blocks to fit the batch.
+    if bb <= 0:
+        bb = B_BLK
+        if interpret:
+            while bb > 8 and B <= bb // 2:
+                bb //= 2
+    # pad the batch to a block multiple along the lane axis (padding
+    # lanes are marked overflow so the loop never waits on them)
     Bp = ((B + bb - 1) // bb) * bb
     if Bp != B:
         pad = Bp - B
-        params = jnp.concatenate(
-            [params, jnp.tile(params[:1], (pad, 1))
-             .at[:, 4].set(1)], axis=0)
-        whi = jnp.concatenate([whi, jnp.tile(whi[:1], (pad, 1))], 0)
-        wlo = jnp.concatenate([wlo, jnp.tile(wlo[:1], (pad, 1))], 0)
-        fsa64 = jnp.concatenate([fsa64, jnp.tile(fsa64[:1], (pad, 1))], 0)
-        row0 = jnp.concatenate([row0, jnp.zeros((pad, K), jnp.int32)], 0)
-        rowx = jnp.concatenate([rowx, jnp.zeros((pad, K), jnp.int32)], 0)
+
+        def pad_lanes(a, ovf_row=None):
+            fill = jnp.tile(a[:, :1], (1, pad))
+            if ovf_row is not None:
+                fill = fill.at[ovf_row].set(1)
+            return jnp.concatenate([a, fill], axis=1)
+
+        params = pad_lanes(params, ovf_row=4)
+        whi = pad_lanes(whi)
+        wlo = pad_lanes(wlo)
+        fsa64 = pad_lanes(fsa64)
+        row0 = jnp.concatenate([row0, jnp.zeros((K, pad), jnp.int32)], 1)
+        rowx = jnp.concatenate([rowx, jnp.zeros((K, pad), jnp.int32)], 1)
 
     WM = max(p.mismatch, p.gap_open + p.gap_ext) + 1
     WE = p.gap_ext + 1
-    # block size: 32 pairs amortizes per-op cost; shrink for small or
-    # memory-heavy batches so block padding stops wasting work
-    bb = bb
-    while bb > 8 and (B <= bb // 2 or S * K * bb * 12 > (3 << 30)):
-        bb //= 2
     if wv <= 0:  # table window sized to a ~7MB VMEM budget
-        wv = min(64, max(16, (7 << 20) // (3 * bb * K * 4)))
+        wv = min(64, max(8, (7 << 20) // (3 * bb * K * 4)))
     WV = wv
     stream = Lw2 > WV
     # 16-bit aux cells when offsets fit 13 bits shrink the dominant
@@ -758,12 +751,11 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         MAX_DIST_DIFF=int(cfg.adaptive.max_dist_diff) if cfg.adaptive else 0,
         CELL16=cell16,
     )
-    table_space = pltpu.ANY if stream else pltpu.VMEM
     if stream:
         table_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
     else:
         table_specs = [
-            pl.BlockSpec((bb, Lw2 * K), lambda b: (b, 0),
+            pl.BlockSpec((Lw2 * K, bb), lambda b: (0, b),
                          memory_space=pltpu.VMEM)
         ] * 3
     twv = WV if stream else 1
@@ -773,47 +765,56 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         kern,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((bb, _NP), lambda b: (b, 0),
+            pl.BlockSpec((_NP, bb), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
         ] + table_specs + [
-            pl.BlockSpec((bb, K), lambda b: (b, 0),
+            pl.BlockSpec((K, bb), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, K), lambda b: (b, 0),
+            pl.BlockSpec((K, bb), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bb, 8), lambda b: (b, 0),
+            pl.BlockSpec((8, bb), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Bp, 8), jnp.int32),
-            jax.ShapeDtypeStruct((3, S, Bp, K), cell_dtype),
+            jax.ShapeDtypeStruct((8, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((3, S, K, Bp), cell_dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((WM, bb, K), jnp.int32),
-            pltpu.VMEM((WE, bb, K), jnp.int32),
-            pltpu.VMEM((WE, bb, K), jnp.int32),
-            pltpu.VMEM((2, bb, K), jnp.int32),
-            pltpu.VMEM((2, bb, K), jnp.int32),
-            pltpu.VMEM((2, bb, K), jnp.int32),
-            pltpu.VMEM((2, CH, bb, K), cell_dtype),
-            pltpu.VMEM((2, CH, bb, K), cell_dtype),
-            pltpu.VMEM((2, CH, bb, K), cell_dtype),
+            pltpu.VMEM((WM * K, bb), jnp.int32),
+            pltpu.VMEM((WE * K, bb), jnp.int32),
+            pltpu.VMEM((WE * K, bb), jnp.int32),
+            pltpu.VMEM((2 * K, bb), jnp.int32),
+            pltpu.VMEM((2 * K, bb), jnp.int32),
+            pltpu.VMEM((2 * K, bb), jnp.int32),
+            pltpu.VMEM((WM, bb), jnp.int32),
+            pltpu.VMEM((WM, bb), jnp.int32),
+            pltpu.VMEM((WM, bb), jnp.int32),
+            pltpu.VMEM((WE, bb), jnp.int32),
+            pltpu.VMEM((WE, bb), jnp.int32),
+            pltpu.VMEM((WE, bb), jnp.int32),
+            pltpu.VMEM((WE, bb), jnp.int32),
+            pltpu.VMEM((WE, bb), jnp.int32),
+            pltpu.VMEM((WE, bb), jnp.int32),
+            pltpu.VMEM((2, CH, K, bb), cell_dtype),
+            pltpu.VMEM((2, CH, K, bb), cell_dtype),
+            pltpu.VMEM((2, CH, K, bb), cell_dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.VMEM((bb, twv * K), jnp.int32),
-            pltpu.VMEM((bb, twv * K), jnp.int32),
-            pltpu.VMEM((bb, twv * K), jnp.int32),
+            pltpu.VMEM((twv * K, bb), jnp.int32),
+            pltpu.VMEM((twv * K, bb), jnp.int32),
+            pltpu.VMEM((twv * K, bb), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(params, whi, wlo, fsa64, row0, rowx)
 
-    final_s = out[:B, 0]
-    done = out[:B, 1] > 0
-    overflow = out[:B, 2] > 0
-    term_cell = out[:B, 4]
+    final_s = out[0, :B]
+    done = out[1, :B] > 0
+    overflow = out[2, :B] > 0
+    term_cell = out[4, :B]
     # aux stays padded to the block multiple — slicing would copy GBs;
-    # the backtrace takes the padded batch stride instead
+    # the backtrace takes the padded lane stride instead
     return final_s, done, overflow, term_cell, aux, Bp

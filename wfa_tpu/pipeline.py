@@ -118,14 +118,20 @@ class AlignmentPipeline:
         lw = (lq + lt) // 32 + 8
         pallas_likely = (cfg.options.global_alignment and engine != "jax"
                          and k_win <= 512)
-        mult = 16 if pallas_likely else 26
+        # aux history dominates: 3 planes x s_cap x k_win cells of 2B
+        # (pallas, 16-bit when offsets fit) or 4B+aux copies (JAX engine)
+        cell16 = max(lq, lt) + k_win <= 4095
+        mult = (7 if cell16 else 13) if pallas_likely else 26
         per_pair = s_cap * k_win * mult + k_win * lw * 8
         b_cap = max(4, min(8192, int(cfg.hbm_budget // max(per_pair, 1))))
-        if b_cap >= 32:
-            b_cap -= b_cap % 32  # keep batches a whole number of blocks
-        # device footprint of one batch (pallas pads to 32-pair blocks);
-        # big batches must run serially — overlapping them risks HBM OOM
-        eff_b = max(b_cap, 32) if pallas_likely else b_cap
+        blk = 128 if pallas_likely else 32
+        if b_cap >= blk:
+            b_cap -= b_cap % blk  # keep batches a whole number of blocks
+        # device footprint of one ACTUAL batch (pallas pads to 128-lane
+        # blocks); big batches must run serially — overlapping them risks
+        # HBM OOM
+        bs = min(self.cfg.batch_size, b_cap)
+        eff_b = max(bs, blk) if pallas_likely else bs
         batch_bytes = per_pair * eff_b
         serial = batch_bytes > (2 << 30)
         return k_win, s_cap, w_win, b_cap, engine, serial
