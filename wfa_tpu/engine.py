@@ -62,6 +62,13 @@ from .oracle import Aligner as OracleAligner
 
 _BIG = np.int32(1 << 30)
 
+# columns of the fused per-pair "meta" output tensor (int32[B, 11]) —
+# one tensor so the host fetches all scalars in one tunnel round trip
+META_COLS = ("score", "overflow", "q_begin", "q_end", "t_begin", "t_end",
+             "align_len", "matches", "gaps", "gap_regions", "trim_len")
+M_SCORE, M_OVF, M_QB, M_QE, M_TB, M_TE, M_ALEN, M_MATCH, M_GAPS, M_GREG, \
+    M_TRIM = range(11)
+
 
 class _State(NamedTuple):
     s: jnp.ndarray  # scalar int32 — current score (lockstep)
@@ -871,23 +878,18 @@ def _align_full_impl(
         tok0, buf, tail, token_shift)
     if token_shift <= 12:
         toks, n_tok = compact_tokens(tok0, buf, tail, token_shift)
-        tok_out = {"toks": toks, "n_tok": n_tok}
+        tok_out = {"toks": toks}
+        trim_len = n_tok
     else:
-        tok_out = {"tok0": tok0, "buf": buf, "tail": tail,
-                   "it_used": jnp.broadcast_to(it_used, qb0.shape)}
-    return {
-        "score": start_s,
-        "overflow": overflow,
-        **tok_out,
-        "q_begin": qb0,
-        "q_end": qe,
-        "t_begin": tb0,
-        "t_end": te,
-        "align_len": align_len,
-        "matches": matches,
-        "gaps": gaps,
-        "gap_regions": gap_regions,
-    }
+        tok_out = {"tok0": tok0, "buf": buf, "tail": tail}
+        trim_len = jnp.broadcast_to(it_used, qb0.shape)
+    # ONE small per-pair tensor instead of eleven: every host fetch
+    # costs a tunnel round trip, so the scalars ride together
+    # (META_COLS names the columns)
+    meta = jnp.stack(
+        [start_s, overflow.astype(jnp.int32), qb0, qe, tb0, te,
+         align_len, matches, gaps, gap_regions, trim_len], axis=1)
+    return {"meta": meta, **tok_out}
 
 
 _align_full = functools.partial(
@@ -939,10 +941,18 @@ class BatchAligner:
     # -- public API ---------------------------------------------------------
 
     def pack_batch(self, pairs: Sequence[Tuple[bytes, bytes]]):
-        """Pad a batch and pre-place each target at column -k0.
+        """Pad a batch and pre-place each target at column -k0."""
+        return self._pack_all(pairs)[:7]
 
-        Row construction goes through C-level bytes join/ljust (a numpy
-        row-assignment loop costs ~10x more per pair)."""
+    def _pack_all(self, pairs: Sequence[Tuple[bytes, bytes]]):
+        """Build the padded row matrices AND their 2-bit uploads in one
+        host pass (the native packer when built; numpy otherwise).
+
+        Returns (qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp) with
+        qp/tp None when the batch has non-ACGT bytes (raw upload path).
+        This is the pipeline's host hot loop — at 2048x1kb it costs
+        ~3 ms native vs ~60 ms in numpy passes.
+        """
         B = len(pairs)
         K = self.cfg.k_win
         ga = self.cfg.global_alignment
@@ -961,6 +971,18 @@ class BatchAligner:
         Lq = _pad_len(int(qlen.max()))
         Ltb = _pad_len(max(int((toff + tlen).max()), 1))
         assert Lq % 4 == 0 and Ltb % 4 == 0
+
+        from . import native
+
+        if native.lib is not None:
+            qb, qp = native.build_and_pack(
+                [q for q, _ in pairs], qlen, None, Lq)
+            tbuf, tp = native.build_and_pack(
+                [t for _, t in pairs], tlen, toff, Ltb)
+            if qp is None or tp is None:
+                qp = tp = None
+            return qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp
+
         pad = b"\0" * (Ltb + 1)
         toffs = toff.tolist()
         qb = np.frombuffer(
@@ -975,7 +997,11 @@ class BatchAligner:
             ),
             np.uint8,
         ).reshape(B, Ltb)
-        return qb, tbuf, qlen, tlen, toff, Lq, Ltb
+        qp = self._pack2(qb, np.zeros_like(qlen), qlen)
+        tp = self._pack2(tbuf, toff, toff + tlen) if qp is not None else None
+        if tp is None:
+            qp = tp = None
+        return qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp
 
     @staticmethod
     def _pack2(arr: np.ndarray, lo: np.ndarray, hi: np.ndarray):
@@ -1038,15 +1064,13 @@ class BatchAligner:
         latency (the results stay on device until fetched).
         """
         B = len(pairs)
-        qb, tbuf, qlen, tlen, toff, Lq, Ltb = self.pack_batch(pairs)
+        qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = self._pack_all(pairs)
         engine = self.engine
         if engine == "pallas":
             from .pallas_engine import supports
 
             if not supports(self.cfg, Ltb):  # length-dependent VMEM gate
                 engine = "jax"
-        qp = self._pack2(qb, np.zeros_like(qlen), qlen)
-        tp = self._pack2(tbuf, toff, toff + tlen) if qp is not None else None
         packed = tp is not None
         out = _align_full(
             jnp.asarray(qp if packed else qb),
@@ -1065,6 +1089,12 @@ class BatchAligner:
                 a.copy_to_host_async()
         return pairs, out
 
+    @staticmethod
+    def _meta_cols(out):
+        """Split the fetched meta tensor into named per-pair columns."""
+        meta = out["meta"]
+        return {name: meta[:, i] for i, name in enumerate(META_COLS)}
+
     def finish_batch(self, handle, fallback: bool = True):
         """Fetch a submitted batch's results and decode them."""
         return self.finish_tokens(self.finish_small(handle), fallback)
@@ -1081,14 +1111,13 @@ class BatchAligner:
         out = jax.device_get(small)
         # fetch only the used token columns/rows (rounded so slice
         # programs are reused); the rest is all-zero
+        n = int(out["meta"][:, M_TRIM].max()) if len(pairs) else 0
         if big == "toks":
-            n = int(out["n_tok"].max()) if len(pairs) else 0
             cols = min(dev["toks"].shape[1],
                        ((max(n, 1) + 63) // 64) * 64)
             trim = dev["toks"][:, :cols]
         else:
-            it = int(out["it_used"].max()) if len(pairs) else 0
-            rows = min(dev["buf"].shape[0], ((max(it, 1) + 31) // 32) * 32)
+            rows = min(dev["buf"].shape[0], ((max(n, 1) + 31) // 32) * 32)
             trim = dev["buf"][:rows]
         trim.copy_to_host_async()
         return pairs, dev, out, big, trim
@@ -1128,12 +1157,13 @@ class BatchAligner:
                 axis=1,
             )
         ga = self.cfg.global_alignment
-        overflow = out["overflow"].tolist()
-        score = out["score"].tolist()
-        q_begin, q_end = out["q_begin"].tolist(), out["q_end"].tolist()
-        t_begin, t_end = out["t_begin"].tolist(), out["t_end"].tolist()
-        align_len, matches = out["align_len"].tolist(), out["matches"].tolist()
-        gaps, gap_regions = out["gaps"].tolist(), out["gap_regions"].tolist()
+        cols = self._meta_cols(out)
+        overflow = cols["overflow"].tolist()
+        score = cols["score"].tolist()
+        q_begin, q_end = cols["q_begin"].tolist(), cols["q_end"].tolist()
+        t_begin, t_end = cols["t_begin"].tolist(), cols["t_end"].tolist()
+        align_len, matches = cols["align_len"].tolist(), cols["matches"].tolist()
+        gaps, gap_regions = cols["gaps"].tolist(), cols["gap_regions"].tolist()
         for i, (q, t) in enumerate(pairs):
             if overflow[i]:
                 results.append(self._oracle.align(q, t) if fallback else None)

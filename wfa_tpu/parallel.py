@@ -97,19 +97,16 @@ def dp_align_full(
     Returns the compact per-pair outputs dict, batch-sharded — only op
     tokens and scalars cross the ICI, never the wavefront history.
     """
+    from .device_backtrace import iter_capacity
+
     lb = _local_b(qb.shape[0], mesh)
-    if max(Lq, Ltb) < (1 << 12):  # device-compacted 16-bit tokens
-        tok_specs = {"toks": P("dp"), "n_tok": P("dp")}
+    ns_stream = 2 * iter_capacity(cfg.s_cap, cfg.penalties) + 5
+    if max(Lq, Ltb) < (1 << 12) and 2 * ns_stream <= (1 << 16):
+        tok_specs = {"toks": P("dp")}  # device-compacted 16-bit tokens
     else:
         tok_specs = {"tok0": P("dp"), "buf": P(None, "dp", None),
-                     "tail": P("dp"), "it_used": P("dp")}
-    out_specs = {
-        "score": P("dp"), "overflow": P("dp"), **tok_specs,
-        "q_begin": P("dp"), "q_end": P("dp"),
-        "t_begin": P("dp"), "t_end": P("dp"),
-        "align_len": P("dp"), "matches": P("dp"),
-        "gaps": P("dp"), "gap_regions": P("dp"),
-    }
+                     "tail": P("dp")}
+    out_specs = {"meta": P("dp"), **tok_specs}
 
     @functools.partial(
         shard_map,
