@@ -13,6 +13,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -67,6 +68,15 @@ def main() -> None:
             print(f"# l={length} e={err}: {aln_s:.1f} aln/s "
                   f"(Go {go}; {aln_s / go:.1f}x) n={n} {elapsed:.2f}s",
                   file=sys.stderr)
+        # semi-global rows (no Go baseline recorded in benchmark.tsv;
+        # l<=250 runs the fused kernel, l=1000 the XLA engine)
+        semi = AlignmentPipeline(dataclasses.replace(
+            cfg, options=Options(global_alignment=False)))
+        for length, err in ((200, 0.05), (1000, 0.05)):
+            n = 8192 if length <= 250 else 2048
+            aln_s, elapsed, _ = _run(semi, n, length, err, reps=1)
+            print(f"# semi-global l={length} e={err}: {aln_s:.1f} aln/s "
+                  f"n={n} {elapsed:.2f}s", file=sys.stderr)
         return
 
     aln_s, elapsed, r0 = _run(pipe, N_PAIRS, LENGTH, ERROR_RATE)

@@ -38,16 +38,25 @@ def random_pairs(rng, count, max_len=70):
     return pairs
 
 
+@pytest.mark.parametrize("global_alignment", [True, False],
+                         ids=["global", "semi"])
 @pytest.mark.parametrize("adaptive", [None, AdaptiveReductionOption(10, 50, 1)],
                          ids=["plain", "adaptive"])
-def test_pallas_engine_matches_oracle(adaptive):
-    rng = random.Random(321)
+def test_pallas_engine_matches_oracle(global_alignment, adaptive):
+    rng = random.Random(321 if global_alignment else 654)
     p = Penalties(4, 6, 2)
-    opts = Options(True)
+    opts = Options(global_alignment)
     oracle = OracleAligner(p, opts, adaptive)
-    engine = BatchAligner(p, opts, adaptive, k_win=128, s_cap=128,
-                          engine="pallas")
+    # semi-global seeds span all n+m-1 diagonals -> k_win 256 covers
+    # max_len 70 pairs
+    engine = BatchAligner(p, opts, adaptive,
+                          k_win=128 if global_alignment else 256,
+                          s_cap=128, engine="pallas")
     pairs = random_pairs(rng, 10)
+    if not global_alignment:
+        pairs += [(b"ACGATCTCG", b"CAGGCTCCTCGG"),
+                  (b"Bioinformatics helps Biology",
+                   b"We learn bioinformatics to help biologists")]
     results = engine.align_batch(pairs)
     for (q, t), res_e in zip(pairs, results):
         res_o = oracle.align(q, t)
@@ -60,26 +69,27 @@ def test_pallas_engine_matches_oracle(adaptive):
 
 def test_pallas_streaming_window_matches_oracle():
     """Tiny streaming window (wv=2) forces HBM table refills every few
-    steps; end-to-end results must stay bit-identical to the oracle."""
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
-    from wfa_tpu.engine import BatchAligner, _run_batch
-    from wfa_tpu.pallas_engine import pallas_run_batch
+    steps; END-TO-END results (CIGARs and stats decoded through the
+    streamed aux history, not just scores) must stay bit-identical."""
 
     rng = random.Random(55)
     p = Penalties(4, 6, 2)
     ad = AdaptiveReductionOption(10, 50, 1)
     pairs = random_pairs(rng, 8, max_len=80)
-    ba = BatchAligner(p, Options(True), ad, k_win=128, s_cap=256)
-    qb, tbuf, qlen, tlen, toff, Lq, Ltb = ba.pack_batch(pairs)
-    args = tuple(map(jnp.asarray, (qb, tbuf, qlen, tlen, toff)))
-    B = len(pairs)
-    st = jax.device_get(_run_batch(*args, cfg=ba.cfg, B=B, Lq=Lq, Ltb=Ltb))
-    fs, done, ovf, tc, aux, bs = jax.device_get(pallas_run_batch(
-        *args, cfg=ba.cfg, B=B, Lq=Lq, Ltb=Ltb, interpret=True, wv=2))
-    assert (fs == st.final_s).all()
-    assert (done == st.done).all()
-    assert (ovf == st.overflow).all()
+    oracle = OracleAligner(p, Options(True), ad)
+    # w_win=2 forces the streamed-table mode with refills every few steps
+    engine = BatchAligner(p, Options(True), ad, k_win=128, s_cap=256,
+                          engine="pallas", w_win=2)
+    results = engine.align_batch(pairs, fallback=False)
+    n_dev = 0
+    for (q, t), res_e in zip(pairs, results):
+        if res_e is None:  # genuine window outrun -> retried elsewhere
+            continue
+        n_dev += 1
+        res_o = oracle.align(q, t)
+        assert res_e.score == res_o.score, (q, t)
+        assert res_e.cigar(False) == res_o.cigar(False), (q, t)
+        for attr in ("q_begin", "q_end", "t_begin", "t_end", "align_len",
+                     "matches", "gaps", "gap_regions"):
+            assert getattr(res_e, attr) == getattr(res_o, attr), (attr, q, t)
+    assert n_dev >= len(pairs) // 2  # the tiny window must not reject all

@@ -104,3 +104,47 @@ def test_graft_entry_single():
     assert scores.shape == (8,)
     assert not overflow.any()
     assert (cnt > 0).all()
+
+
+@pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+def test_pipeline_uses_mesh_and_matches_single_device():
+    """The production pipeline must shard batches over the mesh (not just
+    the raw dp functions) and return results identical to a single-device
+    pipeline, including ragged batches that need mesh padding."""
+    from wfa_tpu import AdaptiveReductionOption, Options, Penalties
+    from wfa_tpu.datagen import generate_pairs
+    from wfa_tpu.pipeline import AlignmentPipeline, PipelineConfig
+
+    base = dict(penalties=Penalties(4, 6, 2), options=Options(True),
+                adaptive=AdaptiveReductionOption(10, 50, 1), batch_size=16)
+    pairs = generate_pairs(35, 60, 0.1, seed=11)  # 35 : ragged everywhere
+    multi = AlignmentPipeline(PipelineConfig(**base, n_devices=8))
+    single = AlignmentPipeline(PipelineConfig(**base, n_devices=1))
+    assert multi._mesh is not None and multi._mesh.devices.size == 8
+    assert single._mesh is None
+    rm = multi.align_all(pairs)
+    rs = single.align_all(pairs)
+    for (q, t), a, b in zip(pairs, rm, rs):
+        assert a.score == b.score, (q, t)
+        assert a.cigar(False) == b.cigar(False), (q, t)
+        for attr in ("q_begin", "q_end", "t_begin", "t_end", "align_len",
+                     "matches", "gaps", "gap_regions"):
+            assert getattr(a, attr) == getattr(b, attr), (attr, q, t)
+
+
+@pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+def test_graft_dryrun_multichip_full_path():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

@@ -84,6 +84,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-m", action="store_true", dest="pprof_mem")
     ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument("--no-device", action="store_true")
+    ap.add_argument(
+        "--devices", type=int, default=0,
+        help="data-parallel device count (0 = all local devices)")
+    ap.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host: jax.distributed.initialize before building the "
+             "mesh (coordinator from JAX_COORDINATOR_ADDRESS)")
     ap.add_argument("--profile-dir", default="")
     ap.add_argument(
         "--resume", default="",
@@ -102,12 +109,18 @@ def main(argv=None) -> int:
         return 0
 
     adaptive = None if args.no_adaptive else AdaptiveReductionOption(10, 50, 1)
+    if args.distributed:
+        from .parallel import initialize_distributed
+
+        n_proc = initialize_distributed()
+        print(f"distributed: {n_proc} processes", file=sys.stderr)
     cfg = PipelineConfig(
         penalties=Penalties(4, 6, 2),
         options=Options(global_alignment=not args.no_global),
         adaptive=adaptive,
         batch_size=args.batch_size,
         use_device=not args.no_device,
+        n_devices=args.devices,
     )
     pipe = AlignmentPipeline(cfg)
 

@@ -826,7 +826,7 @@ def _align_full_impl(
     if engine == "pallas":
         from .pallas_engine import pallas_run_batch
 
-        final_s, done, overflow, start_cell, aux, b_stride = (
+        final_s, done, overflow, start_cell, aux, b_stride, end = (
             pallas_run_batch(
                 qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb,
                 interpret=jax.default_backend() == "cpu",
@@ -834,7 +834,10 @@ def _align_full_impl(
         pairs_on_lanes = True  # kernel aux layout is [3, S, K, Bp]
         qlen = qlen.astype(jnp.int32)
         tlen = tlen.astype(jnp.int32)
-        start_s, start_k = final_s, tlen - qlen  # pallas path is global
+        if cfg.global_alignment:
+            start_s, start_k = final_s, tlen - qlen
+        else:  # the kernel's fused end finder (wfa.go:270-375)
+            start_s, start_k, start_cell = end
     else:
         st = _run_batch_impl(
             qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb
@@ -915,6 +918,7 @@ class BatchAligner:
         s_cap: int = 256,
         engine: str = "auto",
         w_win: Optional[int] = None,
+        mesh=None,
     ) -> None:
         self.cfg = EngineConfig(
             penalties=penalties,
@@ -936,6 +940,10 @@ class BatchAligner:
                 else "jax"
             )
         self.engine = engine
+        # data-parallel device mesh (wfa_tpu.parallel.make_dp_mesh):
+        # batches shard over its 1-D dp axis; None = single device
+        self.mesh = mesh if (mesh is not None
+                             and mesh.devices.size > 1) else None
         self._oracle = OracleAligner(penalties, options, adaptive)
 
     # -- public API ---------------------------------------------------------
@@ -1063,8 +1071,18 @@ class BatchAligner:
         many batches before finishing any hides the host↔device dispatch
         latency (the results stay on device until fetched).
         """
-        B = len(pairs)
-        qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = self._pack_all(pairs)
+        pairs = list(pairs)
+        if self.mesh is not None:
+            # shard_map needs the batch divisible by the mesh; pad with
+            # trivial pairs whose results are dropped by the zip decode
+            n_dev = self.mesh.devices.size
+            short = (-len(pairs)) % n_dev
+            pairs_padded = pairs + [(b"A", b"A")] * short
+        else:
+            pairs_padded = pairs
+        B = len(pairs_padded)
+        qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = self._pack_all(
+            pairs_padded)
         engine = self.engine
         if engine == "pallas":
             from .pallas_engine import supports
@@ -1072,13 +1090,21 @@ class BatchAligner:
             if not supports(self.cfg, Ltb):  # length-dependent VMEM gate
                 engine = "jax"
         packed = tp is not None
-        out = _align_full(
+        args = (
             jnp.asarray(qp if packed else qb),
             jnp.asarray(tp if packed else tbuf),
             jnp.asarray(qlen), jnp.asarray(tlen), jnp.asarray(toff),
-            cfg=self.cfg, B=B, Lq=Lq, Ltb=Ltb, engine=engine,
-            packed=packed,
         )
+        if self.mesh is not None:
+            from .parallel import dp_align_full_fn
+
+            out = dp_align_full_fn(
+                self.cfg, self.mesh, B, Lq, Ltb, engine, packed)(*args)
+        else:
+            out = _align_full(
+                *args, cfg=self.cfg, B=B, Lq=Lq, Ltb=Ltb, engine=engine,
+                packed=packed,
+            )
         # queue device->host copies now so they overlap the next batch's
         # compute instead of serializing at fetch time; the token buffer
         # ('toks'/'buf', whichever this path emits) is fetched separately,

@@ -75,10 +75,10 @@ def supports(cfg: EngineConfig, Ltb: int) -> bool:
     wm = max(p.mismatch, p.gap_open + p.gap_ext) + 1
     if wm > 64 or p.gap_ext + 1 > 64:
         return False
-    if cfg.k_win > 512:  # VMEM budget for the window scratch
+    if cfg.k_win > 512:  # VMEM budget for the window scratch; note
+        # semi-global needs k_win >= n+m-1 (full-span seeds), so longer
+        # semi-global pairs route to the JAX engine
         return False
-    if not cfg.global_alignment:
-        return False  # the end finder needs the raw history
     if cfg.s_cap % CH != 0:
         return False
     # any length is fine: when the stop tables outgrow VMEM the kernel
@@ -96,7 +96,7 @@ def _kernel(
     m_win, i_win, d_win, am_win, ai_win, ad_win,
     mb_lo, mb_hi, mb_ex, ib_lo, ib_hi, ib_ex, db_lo, db_hi, db_ex,
     ob_m, ob_i, ob_d, sem, twhi, twlo, tfsa, tsem,
-    *, S, K, Lw2, WV, BB, X, OE, E, GLOBAL, REDUCE_ON, MIN_WF_LEN,
+    *, S, K, Lw2, WV, BB, CH, X, OE, E, GLOBAL, REDUCE_ON, MIN_WF_LEN,
     MAX_DIST_DIFF, CELL16,
 ):
     cell_dtype = jnp.int16 if CELL16 else jnp.int32
@@ -411,7 +411,8 @@ def _kernel(
         return overflow
 
     def body(carry):
-        (s, done, overflow, final_s, term_cell, wbase) = carry
+        (s, done, overflow, final_s, term_cell, wbase,
+         end_found, end_s, end_k, end_cell) = carry
 
         live0 = (done == 0) & (overflow == 0)  # [1, BB]
         slot_s = lax.rem(s, WM)
@@ -574,6 +575,41 @@ def _kernel(
 
         m_win[pl.ds(slot_s * K, K)] = row_m
 
+        if not GLOBAL:
+            # ---- semi-global end finder, fused into the loop ----
+            # The reference scans stored scores high->low after the loop
+            # (wfa.go:270-375); per score the nearest *stop* cell on each
+            # side of Ak decides (absent cells are skipped, the first
+            # bound-violating cell fails the direction, the first
+            # last-row/col cell succeeds), the up-scan result winning at
+            # the kept score.  Row s is final right here (post-extend,
+            # post-reduce; never rewritten), and ascending s makes the
+            # first success the minimum score — so one masked pass per
+            # step replaces the post-hoc scan over the raw history that
+            # the old kernel could not keep.
+            h_e = row_m >> TYPE_BITS
+            v_e = h_e - ks
+            okc = row_m > 0
+            viol = (v_e <= 0) | (v_e > qlen) | (h_e > tlen)
+            elig = (((v_e == qlen) & (h_e >= qlen))
+                    | ((h_e == tlen) & (v_e >= tlen)))
+            stop = okc & (viol | elig)
+            succ = okc & ~viol & elig
+            dn = ks <= ak
+            k_dn = smax(ks, stop & dn)
+            succ_dn = sany(succ & dn & (ks == k_dn))
+            up = ks >= ak + 1
+            k_up = smin(ks, stop & up)
+            succ_up = sany(succ & up & (ks == k_up))
+            newly_e = live0 & (end_found == 0) & (succ_dn | succ_up)
+            k_sel = jnp.where(succ_up, k_up, k_dn)
+            cell_sel = jnp.sum(jnp.where(ks == k_sel, row_m, 0), axis=0,
+                               keepdims=True)
+            end_s = jnp.where(newly_e, s, end_s)
+            end_k = jnp.where(newly_e, k_sel, end_k)
+            end_cell = jnp.where(newly_e, cell_sel, end_cell)
+            end_found = jnp.where(newly_e, 1, end_found)
+
         # ---- stream backtrace-aux row s to HBM ----
         # aux row values were final at creation (aux = pre-extension
         # offsets); masking by the current cell row applies this
@@ -601,7 +637,8 @@ def _kernel(
         if not REORDER:
             overflow = run_next(s, done, overflow, live)
 
-        return (s + 1, done, overflow, final_s, term_cell, wbase)
+        return (s + 1, done, overflow, final_s, term_cell, wbase,
+                end_found, end_s, end_k, end_cell)
 
     def cond(carry):
         s = carry[0]
@@ -609,10 +646,11 @@ def _kernel(
         return (s < S - 1) & jnp.any((done == 0) & (overflow == 0))
 
     z1 = jnp.zeros((1, BB), jnp.int32)
-    carry = (jnp.int32(0), z1, ovf0, z1, z1, jnp.int32(-WV))
+    carry = (jnp.int32(0), z1, ovf0, z1, z1, jnp.int32(-WV),
+             z1, z1, z1, z1)
     carry = lax.while_loop(cond, body, carry)
-    s_exit, done, overflow, final_s, term_cell = (
-        carry[0], carry[1], carry[2], carry[3], carry[4])
+    (s_exit, done, overflow, final_s, term_cell, _,
+     end_found, end_s, end_k, end_cell) = carry
 
     # flush the partial output chunk and drain outstanding DMAs
     nchunks = (s_exit + CH - 1) // CH
@@ -636,9 +674,18 @@ def _kernel(
         hist_dma(2, ob_d, nchunks - 2).wait()
 
     overflow = jnp.where(done == 0, 1, overflow)
+    # the reference's end finder falls back to (termination score, Ak)
+    # when no last-row/col cell exists (wfa.go:280-282 init values)
+    if not GLOBAL:
+        fb = end_found == 0
+        end_s = jnp.where(fb, final_s, end_s)
+        end_k = jnp.where(fb, ak, end_k)
+        end_cell = jnp.where(fb, term_cell, end_cell)
+    else:
+        end_s, end_k, end_cell = final_s, ak, term_cell
     res = jnp.concatenate(
         [final_s, done, overflow, jnp.broadcast_to(s_exit, (1, BB)),
-         term_cell] + [z1] * 3, axis=0)
+         term_cell, end_s, end_k, end_cell], axis=0)
     out_ref[:] = res
 
 
@@ -733,8 +780,14 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
 
     WM = max(p.mismatch, p.gap_open + p.gap_ext) + 1
     WE = p.gap_ext + 1
-    if wv <= 0:  # table window sized to a ~7MB VMEM budget
-        wv = min(64, max(8, (7 << 20) // (3 * bb * K * 4)))
+    # wide windows (semi-global full-span) halve the DMA chunk and the
+    # minimum table window so the VMEM working set stays under budget
+    ch = CH if K <= 256 else 4
+    budget_wv = max(4, (6 << 20) // (3 * bb * K * 4))
+    if wv <= 0:
+        wv = cfg.w_win or 0  # engine-config hint (also the jit key)
+    # explicit windows are clamped to the VMEM budget, never raised
+    wv = min(wv, budget_wv) if wv > 0 else min(64, budget_wv)
     WV = wv
     stream = Lw2 > WV
     # 16-bit aux cells when offsets fit 13 bits shrink the dominant
@@ -742,7 +795,7 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     cell16 = Ltb <= 4095
     cell_dtype = jnp.int16 if cell16 else jnp.int32
     kern = functools.partial(
-        _kernel, S=S, K=K, Lw2=Lw2, WV=WV, BB=bb,
+        _kernel, S=S, K=K, Lw2=Lw2, WV=WV, BB=bb, CH=ch,
         X=int(p.mismatch), OE=int(p.gap_open + p.gap_ext),
         E=int(p.gap_ext),
         GLOBAL=cfg.global_alignment,
@@ -798,16 +851,21 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
             pltpu.VMEM((WE, bb), jnp.int32),
             pltpu.VMEM((WE, bb), jnp.int32),
             pltpu.VMEM((WE, bb), jnp.int32),
-            pltpu.VMEM((2, CH, K, bb), cell_dtype),
-            pltpu.VMEM((2, CH, K, bb), cell_dtype),
-            pltpu.VMEM((2, CH, K, bb), cell_dtype),
+            pltpu.VMEM((2, ch, K, bb), cell_dtype),
+            pltpu.VMEM((2, ch, K, bb), cell_dtype),
+            pltpu.VMEM((2, ch, K, bb), cell_dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.VMEM((twv * K, bb), jnp.int32),
             pltpu.VMEM((twv * K, bb), jnp.int32),
             pltpu.VMEM((twv * K, bb), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # wide-window kernels (semi-global full-span K) legitimately
+            # hold >16MB of VMEM scratch; v5e has 128MB physical VMEM
+            vmem_limit_bytes=100 << 20,
+        ),
         interpret=interpret,
     )(params, whi, wlo, fsa64, row0, rowx)
 
@@ -815,6 +873,7 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     done = out[1, :B] > 0
     overflow = out[2, :B] > 0
     term_cell = out[4, :B]
+    end = (out[5, :B], out[6, :B], out[7, :B])  # semi-global start point
     # aux stays padded to the block multiple — slicing would copy GBs;
     # the backtrace takes the padded lane stride instead
-    return final_s, done, overflow, term_cell, aux, Bp
+    return final_s, done, overflow, term_cell, aux, Bp, end

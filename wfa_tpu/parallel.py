@@ -88,18 +88,40 @@ def dp_align_state(
     return jax.jit(_sharded)(qb, tbuf, qlen, tlen, toff)
 
 
-def dp_align_full(
-    qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig, mesh: Mesh,
-    Lq: int, Ltb: int,
-):
-    """Full data-parallel alignment (score loop + device backtrace).
+def initialize_distributed(**kwargs) -> int:
+    """Multi-host entry: `jax.distributed.initialize` (DCN-coordinated),
+    idempotent; returns the process count.  Single-process runs (no
+    coordinator configured) are a no-op."""
+    import os
 
-    Returns the compact per-pair outputs dict, batch-sharded — only op
-    tokens and scalars cross the ICI, never the wavefront history.
+    if jax.process_count() > 1:
+        return jax.process_count()
+    if kwargs or os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(**kwargs)
+    return jax.process_count()
+
+
+_DP_FULL_CACHE: dict = {}
+
+
+def dp_align_full_fn(cfg: EngineConfig, mesh: Mesh, B: int, Lq: int,
+                     Ltb: int, engine: str = "jax", packed: bool = False):
+    """Cached jitted data-parallel full-alignment step.
+
+    One compilation per (cfg, mesh, shapes) — the production pipeline
+    calls this per batch, so the shard_map closure must not be rebuilt
+    each time (a fresh `jax.jit` per call would recompile every batch).
     """
+    key = (cfg, mesh, B, Lq, Ltb, engine, packed)
+    fn = _DP_FULL_CACHE.get(key)
+    if fn is not None:
+        return fn
+
     from .device_backtrace import iter_capacity
 
-    lb = _local_b(qb.shape[0], mesh)
+    lb = B // mesh.devices.size
+    assert B % mesh.devices.size == 0
     ns_stream = 2 * iter_capacity(cfg.s_cap, cfg.penalties) + 5
     if max(Lq, Ltb) < (1 << 12) and 2 * ns_stream <= (1 << 16):
         tok_specs = {"toks": P("dp")}  # device-compacted 16-bit tokens
@@ -117,10 +139,26 @@ def dp_align_full(
     )
     def _sharded(qb_s, tb_s, ql_s, tl_s, to_s):
         return _align_full_impl(
-            qb_s, tb_s, ql_s, tl_s, to_s, cfg=cfg, B=lb, Lq=Lq, Ltb=Ltb
+            qb_s, tb_s, ql_s, tl_s, to_s, cfg=cfg, B=lb, Lq=Lq, Ltb=Ltb,
+            engine=engine, packed=packed,
         )
 
-    return jax.jit(_sharded)(qb, tbuf, qlen, tlen, toff)
+    fn = jax.jit(_sharded)
+    _DP_FULL_CACHE[key] = fn
+    return fn
+
+
+def dp_align_full(
+    qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig, mesh: Mesh,
+    Lq: int, Ltb: int, engine: str = "jax", packed: bool = False,
+):
+    """Full data-parallel alignment (score loop + device backtrace).
+
+    Returns the compact per-pair outputs dict, batch-sharded — only op
+    tokens and scalars cross the ICI, never the wavefront history.
+    """
+    fn = dp_align_full_fn(cfg, mesh, qb.shape[0], Lq, Ltb, engine, packed)
+    return fn(qb, tbuf, qlen, tlen, toff)
 
 
 def dp_align_scores(

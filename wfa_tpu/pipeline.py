@@ -39,6 +39,10 @@ class PipelineConfig:
     # HBM budget for one in-flight batch's wavefront/aux tensors; bounds
     # the batch size for long sequences (S grows with length)
     hbm_budget: int = 6 << 30
+    # data parallelism over the local (or, after
+    # parallel.initialize_distributed, global) device mesh: 0 = all
+    # available devices, 1 = single-device, n = first n devices
+    n_devices: int = 0
 
 
 class AlignmentPipeline:
@@ -48,6 +52,15 @@ class AlignmentPipeline:
         self.cfg = cfg
         self._oracle = OracleAligner(cfg.penalties, cfg.options, cfg.adaptive)
         self._engines = {}
+        self._mesh = None
+        if cfg.use_device:
+            import jax
+
+            n = cfg.n_devices or len(jax.devices())
+            if n > 1:
+                from .parallel import make_dp_mesh
+
+                self._mesh = make_dp_mesh(n)
 
     # -- window/cap policy ---------------------------------------------------
 
@@ -116,8 +129,7 @@ class AlignmentPipeline:
             w_win = (128, 256, 512)[min(tier, 2)]
         # bound the batch so one batch's device tensors fit the HBM budget
         lw = (lq + lt) // 32 + 8
-        pallas_likely = (cfg.options.global_alignment and engine != "jax"
-                         and k_win <= 512)
+        pallas_likely = engine != "jax" and k_win <= 512
         # aux history dominates: 3 planes x s_cap x k_win cells of 2B
         # (pallas, 16-bit when offsets fit) or 4B+aux copies (JAX engine)
         cell16 = max(lq, lt) + k_win <= 4095
@@ -148,6 +160,7 @@ class AlignmentPipeline:
                 s_cap=s_cap,
                 w_win=w_win,
                 engine=engine,
+                mesh=self._mesh,
             )
             self._engines[key] = eng
         return eng
