@@ -61,9 +61,13 @@ def main() -> None:
         rows = [
             (1000, 0.05, 6484), (1000, 0.10, 2393), (1000, 0.20, 904),
             (50000, 0.05, 81.9), (50000, 0.10, 27.9), (50000, 0.20, 10.4),
+            # 100kb ONT-like reads: beyond the reference's own benchmark
+            # ceiling (benchmark.tsv stops at 50k); Go number extrapolated
+            # from its 50k scaling (~0.25x per doubling) for reference only
+            (100000, 0.05, 20.0),
         ]
         for length, err, go in rows:
-            n = 16384 if length <= 1000 else 64
+            n = 16384 if length <= 1000 else (64 if length <= 50000 else 16)
             aln_s, elapsed, _ = _run(pipe, n, length, err, reps=1)
             print(f"# l={length} e={err}: {aln_s:.1f} aln/s "
                   f"(Go {go}; {aln_s / go:.1f}x) n={n} {elapsed:.2f}s",

@@ -58,3 +58,23 @@ def test_l1000_semi_global_jax():
                       engine="jax", w_win=16)
     pairs = generate_pairs(2, 1000, 0.05, seed=29)
     _check(eng, oracle, pairs, "semi-l1000")
+
+
+def test_pipeline_long_sequence_tiers():
+    """l>4096 pairs through the production pipeline: exercises the
+    long-sequence cap ladder (w_win streaming, JAX-engine tiers, serial
+    drain, 32-bit cells) end-to-end, bit-exact vs the oracle."""
+    from wfa_tpu.pipeline import AlignmentPipeline, PipelineConfig
+
+    p = Penalties(4, 6, 2)
+    ad = AdaptiveReductionOption(10, 50, 1)
+    oracle = OracleAligner(p, Options(True), ad)
+    pipe = AlignmentPipeline(PipelineConfig(p, Options(True), ad,
+                                            batch_size=4, n_devices=1))
+    pairs = generate_pairs(2, 6000, 0.05, seed=41)
+    for (q, t), res in zip(pairs, pipe.align_all(pairs)):
+        ref = oracle.align(q, t)
+        assert res.score == ref.score
+        assert res.cigar(False) == ref.cigar(False)
+        assert (res.align_len, res.matches, res.gaps, res.gap_regions) == (
+            ref.align_len, ref.matches, ref.gaps, ref.gap_regions)

@@ -448,13 +448,41 @@ def _kernel(
         act0 = valid & (v0 > 0) & (v0 < qlen) & (h0 < tlen)
         c0 = h0 + toff
         w2 = jnp.clip(c0 >> 6, 0, Lw2 - 1)
-        if not STREAM:
+        WF = 8  # fast-path word-group window (VMEM-resident tables)
+        if not STREAM and Lw2 <= WF:
             word_hi, word_lo, fsa0 = select_chain(
                 Lw2,
                 lambda w: whi_ref[w * K:(w + 1) * K],
                 lambda w: wlo_ref[w * K:(w + 1) * K],
                 lambda w: fsa_ref[w * K:(w + 1) * K],
                 w2)
+        elif not STREAM:
+            # offsets advance monotonically and a block's live cells
+            # cluster, so a small window anchored at the minimum live
+            # group almost always covers the step; the full-table scan
+            # runs only on the rare spread-out step (lax.cond, so the
+            # slow branch costs nothing when not taken)
+            wmin = jnp.clip(jnp.min(jnp.where(act0, w2, Lw2)),
+                            0, Lw2 - WF)
+            spread = jnp.any(act0 & (w2 >= wmin + WF))
+
+            def _full():
+                return select_chain(
+                    Lw2,
+                    lambda w: whi_ref[w * K:(w + 1) * K],
+                    lambda w: wlo_ref[w * K:(w + 1) * K],
+                    lambda w: fsa_ref[w * K:(w + 1) * K],
+                    w2)
+
+            def _fast():
+                return select_chain(
+                    WF,
+                    lambda j: whi_ref[pl.ds((wmin + j) * K, K)],
+                    lambda j: wlo_ref[pl.ds((wmin + j) * K, K)],
+                    lambda j: fsa_ref[pl.ds((wmin + j) * K, K)],
+                    w2, base=wmin)
+
+            word_hi, word_lo, fsa0 = lax.cond(spread, _full, _fast)
         else:
             # slide the VMEM window when any live lane leaves it; offsets
             # only grow, so the window base is monotone.  Pairs whose

@@ -115,6 +115,13 @@ class AlignmentPipeline:
         # outrun the streaming window still finish on device) reads a
         # w_win-word slice per step
         engine = "jax" if (longest > 4096 and tier >= 2) else "auto"
+        # the kernel's 128-lane block minimum makes its aux history
+        # 3*s_cap*k_win*cell*128 bytes even for tiny batches; configs
+        # where that exceeds the HBM budget (very long reads) must run
+        # the JAX engine, whose batch can shrink below one lane block
+        cell_b = 2 if max(lq, lt) + k_win <= 4095 else 4
+        if 3 * s_cap * k_win * cell_b * 128 > cfg.hbm_budget:
+            engine = "jax"
         if longest <= 4096 and k_win <= 512:
             w_win = None
         elif longest <= 4096:
@@ -131,10 +138,14 @@ class AlignmentPipeline:
         lw = (lq + lt) // 32 + 8
         pallas_likely = engine != "jax" and k_win <= 512
         # aux history dominates: 3 planes x s_cap x k_win cells of 2B
-        # (pallas, 16-bit when offsets fit) or 4B+aux copies (JAX engine)
+        # (pallas, 16-bit when offsets fit) or, for the JAX engine, six
+        # int32 [S,B,K] state tensors (24B/cell) plus while-loop
+        # temporaries and the stop-table build transients (measured: 26
+        # underestimates at l=100k and crashes the TPU worker — a hard
+        # fault, not a clean OOM)
         cell16 = max(lq, lt) + k_win <= 4095
-        mult = (7 if cell16 else 13) if pallas_likely else 26
-        per_pair = s_cap * k_win * mult + k_win * lw * 8
+        mult = (7 if cell16 else 13) if pallas_likely else 40
+        per_pair = s_cap * k_win * mult + k_win * lw * 24
         b_cap = max(4, min(8192, int(cfg.hbm_budget // max(per_pair, 1))))
         blk = 128 if pallas_likely else 32
         if b_cap >= blk:
