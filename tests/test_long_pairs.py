@@ -25,7 +25,7 @@ def _check(engine, oracle, pairs, ctx):
 
 @pytest.mark.parametrize("adaptive", [None, AdaptiveReductionOption(10, 50, 1)],
                          ids=["plain", "adaptive"])
-@pytest.mark.parametrize("engine", ["jax", "pallas"])
+@pytest.mark.parametrize("engine", ["jax", "pallas", "pallas_long"])
 def test_l1000_bit_exact(engine, adaptive):
     p = Penalties(4, 6, 2)
     oracle = OracleAligner(p, Options(True), adaptive)

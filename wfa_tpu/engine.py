@@ -676,12 +676,17 @@ def _run_batch_impl(
 
         # write M row, merging any pre-existing wavefront at s2 (the seed
         # rows at scores 0 and x; same window origin, so a plain select).
+        # NB reads here must go through the UPDATED tensors (aux_m, not
+        # st.aux_m): reduce only touched row s, so row s2 is identical,
+        # but referencing the stale buffer after the update forces XLA to
+        # keep both alive — a full O(S*B*K) copy per step that made long
+        # reads (l=100k) ~40x slower than the step math
         ex_m_old = _col_at(st.ex_m, s2)
         lo_m_old = _col_at(lo_m_all, s2)
         hi_m_old = _col_at(hi_m_all, s2)
         row_m_old = _row_at(hist_m, s2)
         row_m_new = jnp.where(wr_m, (Msk << TYPE_BITS) | tag_m, row_m_old)
-        aux_m_old = _row_at(st.aux_m, s2)
+        aux_m_old = _row_at(aux_m, s2)
         aux_m_new = jnp.where(wr_m, (aux_m_val << TYPE_BITS) | tag_m,
                               aux_m_old)
 
@@ -838,6 +843,18 @@ def _align_full_impl(
             start_s, start_k = final_s, tlen - qlen
         else:  # the kernel's fused end finder (wfa.go:270-375)
             start_s, start_k, start_cell = end
+    elif engine == "pallas_long":
+        # pairs-on-sublanes long-read kernel: 8-pair block minimum keeps
+        # the aux history inside HBM at l=50k+ (see pallas_longread)
+        from .pallas_longread import pallas_run_batch as run_long
+
+        final_s, done, overflow, start_cell, aux, b_stride = run_long(
+            qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb,
+            interpret=jax.default_backend() == "cpu",
+        )
+        qlen = qlen.astype(jnp.int32)
+        tlen = tlen.astype(jnp.int32)
+        start_s, start_k = final_s, tlen - qlen  # global-only kernel
     else:
         st = _run_batch_impl(
             qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb
@@ -1088,6 +1105,11 @@ class BatchAligner:
             from .pallas_engine import supports
 
             if not supports(self.cfg, Ltb):  # length-dependent VMEM gate
+                engine = "jax"
+        elif engine == "pallas_long":
+            from .pallas_longread import supports as supports_long
+
+            if not supports_long(self.cfg, Ltb):
                 engine = "jax"
         packed = tp is not None
         args = (

@@ -1,0 +1,828 @@
+"""Long-read Pallas kernel: pairs-on-SUBLANES score loop.
+
+The main kernel (wfa_tpu.pallas_engine) runs 128 pair lanes per block —
+4-5x faster per pair at short/medium lengths, but its aux history costs
+``3 * s_cap * k_win * 128`` cells even for tiny batches, which exceeds
+HBM for very long reads (l=50k+ needs s_cap in the tens of thousands).
+This kernel keeps the previous pairs-on-sublanes layout whose blocks
+shrink to 8 pairs, making it the fast device path for long reads; the
+pipeline routes between the two by the aux-size budget (pipeline
+_tier_caps), and both produce bit-identical results.
+
+Design notes (shared with the main kernel; see its docstring): the
+reference's entire per-pair score loop — extend (wfa.go:381-458),
+termination (wfa.go:235-239), wf-adaptive reduce (wfa.go:461-540) and
+next (wfa.go:549-700) — runs as ONE Pallas kernel invocation per batch,
+with every per-step data structure resident in VMEM:
+
+* the *stop tables* (precomputed extension bitmasks, see
+  ``engine._stop_tables``) live in VMEM for the whole block, so the
+  match-run (LCP) of every live diagonal is ONE masked pass + clz per
+  score step — no HBM traffic, no gathers, no data-dependent inner loop;
+* the sliding window of wavefronts that ``next`` reads (the last
+  ``max(x, o+e)+1`` scores of M and ``e+1`` of I/D) is a circular VMEM
+  buffer;
+* the full packed-cell history that the backtrace needs is streamed out
+  to HBM with double-buffered async DMA in CH-score chunks, overlapping
+  compute;
+* each block of ``B_BLK`` pairs iterates in lockstep but terminates as
+  soon as *its own* pairs are done, independent of the rest of the batch.
+
+Cells keep the reference encoding ``offset << 3 | tag`` (0 = absent,
+wfa_wavefront.go:44/93), and the kernel maintains the invariant that a
+cell outside its wavefront's live band [lo, hi] is zero, so downstream
+consumers (device backtrace, semi-global end finder) need only the cell
+values — per-score band arrays never leave the chip.
+
+The JAX lockstep engine (wfa_tpu.engine) computes identical results and
+remains the fallback for configurations the kernel does not support
+(huge diagonal windows / penalties; see ``supports``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .constants import (
+    T_DEL_EXT,
+    T_DEL_OPEN,
+    T_INS_EXT,
+    T_INS_OPEN,
+    T_MISMATCH,
+    TYPE_BITS,
+)
+from .engine import EngineConfig, _seed_rows, _stop_tables
+
+_BIG = np.int32(1 << 30)
+
+B_BLK = 32  # pairs per kernel block (sublane tiles)
+CH = 8  # history scores per output DMA chunk
+_NP = 16  # packed per-pair parameter columns
+
+
+def supports(cfg: EngineConfig, Ltb: int) -> bool:
+    """Whether the fused kernel handles this config (else JAX fallback).
+
+    ``Ltb`` is the padded target-buffer length (0 = unknown: check only
+    the length-independent constraints)."""
+    p = cfg.penalties
+    wm = max(p.mismatch, p.gap_open + p.gap_ext) + 1
+    if wm > 64 or p.gap_ext + 1 > 64:
+        return False
+    if cfg.k_win > 512:  # VMEM budget for the stop tables
+        return False
+    if not cfg.global_alignment:
+        return False  # the end finder needs the raw history
+    if cfg.s_cap % CH != 0:
+        return False
+    # any length is fine: when the stop tables outgrow VMEM the kernel
+    # streams a sliding window of them from HBM
+    return True
+
+
+def _iota(shape, dim):
+    return lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _kernel(
+    params_ref, whi_ref, wlo_ref, fsa_ref, seed0_ref, seedx_ref,
+    out_ref, aux_ref,
+    m_win, i_win, d_win, am_win, ai_win, ad_win,
+    ob_m, ob_i, ob_d, sem, twhi, twlo, tfsa, tsem,
+    *, S, K, Lw2, WV, BB, X, OE, E, GLOBAL, REDUCE_ON, MIN_WF_LEN,
+    MAX_DIST_DIFF, CELL16,
+):
+    cell_dtype = jnp.int16 if CELL16 else jnp.int32
+    STREAM = Lw2 > WV  # stop tables stay in HBM; a WV-group window
+    # slides through VMEM as the block's offsets advance
+    WM = max(X, OE) + 1
+    WE = E + 1
+    WB = 64  # band-slot lanes (>= WM, WE)
+    blk = pl.program_id(0)
+
+    prm = params_ref[:]  # [BB, _NP]
+    qlen = prm[:, 0:1]
+    tlen = prm[:, 1:2]
+    toff = prm[:, 2:3]
+    j_ak = prm[:, 3:4]
+    ovf0 = prm[:, 4:5]
+    lo0 = prm[:, 5:6]
+    hi0 = prm[:, 6:7]
+    ex0 = prm[:, 7:8]
+    lox = prm[:, 8:9]
+    hix = prm[:, 9:10]
+    exx = prm[:, 10:11]
+    ak = prm[:, 11:12]
+
+    k0 = -toff
+    ks = k0 + _iota((BB, K), 1)  # [BB, K] diagonal of each column
+    lane_k = _iota((BB, K), 1)
+    lane_b = _iota((BB, WB), 1)
+
+    # ---- init windows & band slots (seeding, wfa.go:143-184) ----
+    m_win[...] = jnp.zeros((WM, BB, K), jnp.int32)
+    i_win[...] = jnp.zeros((WE, BB, K), jnp.int32)
+    d_win[...] = jnp.zeros((WE, BB, K), jnp.int32)
+    m_win[0] = seed0_ref[:]
+    if 0 < X < WM:
+        m_win[X] = seedx_ref[:]
+    # aux plane (backtrace pre-extension offsets): seed cells have no
+    # sources (the reference's from-itself break), so their aux value is
+    # just the tag bits
+    am_win[...] = jnp.zeros((2, BB, K), jnp.int32)
+    ai_win[...] = jnp.zeros((2, BB, K), jnp.int32)
+    ad_win[...] = jnp.zeros((2, BB, K), jnp.int32)
+    am_win[0] = seed0_ref[:] & 7
+
+    def band_init(lo_v, hi_v, ex_v, slot):
+        sel = lane_b == slot
+        return (
+            jnp.where(sel, lo_v, _BIG),
+            jnp.where(sel, hi_v, -_BIG),
+            jnp.where(sel, ex_v, 0),
+        )
+
+    m_lo, m_hi, m_ex = band_init(lo0, hi0, ex0, 0)
+    if 0 < X:
+        sel = lane_b == X
+        m_lo = jnp.where(sel, lox, m_lo)
+        m_hi = jnp.where(sel, hix, m_hi)
+        m_ex = jnp.where(sel, exx, m_ex)
+    i_lo = jnp.full((BB, WB), _BIG, jnp.int32)
+    i_hi = jnp.full((BB, WB), -_BIG, jnp.int32)
+    i_ex = jnp.zeros((BB, WB), jnp.int32)
+    d_lo, d_hi, d_ex = i_lo, i_hi, i_ex
+
+    def slot_read(arr, slot):
+        """[BB, WB] band array -> [BB, 1] value at lane `slot`."""
+        return jnp.sum(jnp.where(lane_b == slot, arr, 0), axis=1,
+                       keepdims=True)
+
+    def slot_write(arr, slot, val):
+        return jnp.where(lane_b == slot, val, arr)
+
+    def src_read(win, lo_a, hi_a, ex_a, s2, diff, W):
+        """Fused KRange (wfa_component.go:91-101, with its (0,0) fallback)
+        + GetAfterDiff row read (wfa_component.go:158) for one source."""
+        sp = s2 - diff
+        okd = sp >= 0
+        slot = lax.rem(jnp.maximum(sp, 0), W)
+        sel = lane_b == slot
+        lo_sp = jnp.sum(jnp.where(sel, lo_a, 0), axis=1, keepdims=True)
+        hi_sp = jnp.sum(jnp.where(sel, hi_a, 0), axis=1, keepdims=True)
+        ex_sp = (jnp.sum(jnp.where(sel, ex_a, 0), axis=1,
+                         keepdims=True) > 0) & okd
+        lo_kr = jnp.where(ex_sp, lo_sp, 0)
+        hi_kr = jnp.where(ex_sp, hi_sp, 0)
+        row = win[pl.ds(slot, 1)][0]  # [BB, K]
+        found = ex_sp & (ks >= lo_sp) & (ks <= hi_sp) & (row > 0)
+        return lo_kr, hi_kr, jnp.where(found, row >> TYPE_BITS, 0), found
+
+    def shift_km1(row):
+        r = pltpu.roll(row, 1, axis=1)
+        return jnp.where(lane_k == 0, 0, r)
+
+    def shift_kp1(row):
+        r = pltpu.roll(row, K - 1, axis=1)
+        return jnp.where(lane_k == K - 1, 0, r)
+
+    def hist_dma(comp, ob, c):
+        # destination: component plane `comp` of the combined backtrace
+        # aux tensor int32[3, S, B, K] (offset0 << 3 | tag per cell;
+        # plane-major so each DMA row is contiguous)
+        slot = lax.rem(c, 2)
+        return pltpu.make_async_copy(
+            ob.at[slot],
+            aux_ref.at[comp, pl.ds(c * CH, CH), pl.ds(blk * BB, BB)],
+            sem.at[slot, comp],
+        )
+
+    def table_dma(idx, src_ref, dst_ref, base):
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(blk * BB, BB), pl.ds(base * K, WV * K)],
+            dst_ref,
+            tsem.at[idx],
+        )
+
+    def delete_range_asc(dl, dh, lo, hi):
+        """Ascending Delete sweep over [dl, dh] on band [lo, hi]
+        (wfa_wavefront.go:171-183 via wfa.go:526-535)."""
+        nonempty = (dl <= dh) & (lo <= dh) & (hi >= dl)
+        z_lo = jnp.maximum(dl, lo)
+        z_hi = jnp.minimum(dh, hi)
+        case_chain = lo >= dl
+        hi_in = hi <= dh
+        new_lo_a = jnp.where(hi_in, hi, dh + 1)
+        new_hi_a = jnp.where(hi_in, hi - 1, hi)
+        new_lo = jnp.where(nonempty, jnp.where(case_chain, new_lo_a, lo), lo)
+        new_hi = jnp.where(nonempty, new_hi_a, hi)
+        z_lo = jnp.where(nonempty, z_lo, 1)
+        z_hi = jnp.where(nonempty, z_hi, 0)
+        return new_lo, new_hi, z_lo, z_hi
+
+
+    def select_chain(n, load_hi, load_lo, load_fsa, w2, base=None):
+        """One-hot select over n word groups, split into 4 independent
+        sub-chains so the accumulator dependency depth is ~n/4 (the body
+        is latency-bound); one-hot partials merge with | / min."""
+        hi = [jnp.zeros((BB, K), jnp.int32) for _ in range(4)]
+        lo = [jnp.zeros((BB, K), jnp.int32) for _ in range(4)]
+        fs = [jnp.full((BB, K), _BIG, jnp.int32) for _ in range(4)]
+        for w in range(n):
+            c = w & 3
+            m = w2 == (w if base is None else base + w)
+            hi[c] = jnp.where(m, load_hi(w), hi[c])
+            lo[c] = jnp.where(m, load_lo(w), lo[c])
+            fs[c] = jnp.where(m, load_fsa(w), fs[c])
+        word_hi = (hi[0] | hi[1]) | (hi[2] | hi[3])
+        word_lo = (lo[0] | lo[1]) | (lo[2] | lo[3])
+        fsa0 = jnp.minimum(jnp.minimum(fs[0], fs[1]),
+                           jnp.minimum(fs[2], fs[3]))
+        return word_hi, word_lo, fsa0
+
+    # ---------------- the score loop ----------------
+    # With x >= 2, e >= 2 and o+e >= 2, next(s+1) reads only rows/bands
+    # older than anything extend/reduce(s) writes (all its source slots
+    # differ from slot_s), so the two phases are data-independent and are
+    # emitted next-first to give the VLIW scheduler two chains to
+    # interleave.  For degenerate penalties the reference order is kept.
+    REORDER = X >= 2 and E >= 2 and OE >= 2
+
+    def run_next(s, done, overflow, live_in, bands):
+        """WF_NEXT (wfa.go:549-700) + backtrace-aux row construction."""
+        (m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex) = bands
+        s2 = s + 1
+        lo_x, hi_x, mx, f_mx = src_read(m_win, m_lo, m_hi, m_ex, s2, X, WM)
+        lo_o, hi_o, moe, f_moe = src_read(m_win, m_lo, m_hi, m_ex, s2, OE, WM)
+        lo_ie, hi_ie, ie, f_ie = src_read(i_win, i_lo, i_hi, i_ex, s2, E, WE)
+        lo_de, hi_de, de, f_de = src_read(d_win, d_lo, d_hi, d_ex, s2, E, WE)
+
+        hi_n = jnp.minimum(
+            tlen - 1,
+            jnp.maximum(jnp.maximum(hi_x, hi_o),
+                        jnp.maximum(hi_ie, hi_de)) + 1)
+        lo_n = jnp.maximum(
+            -(qlen - 1),
+            jnp.minimum(jnp.minimum(lo_x, lo_o),
+                        jnp.minimum(lo_ie, lo_de)) - 1)
+
+        overflow = jnp.where(
+            live_in & ((lo_n < k0) | (hi_n >= k0 + K)), 1, overflow)
+        live = live_in & (overflow == 0)
+
+        # insertion (wfa.go:578-608): sources at k-1
+        v1i = shift_km1(moe)
+        fmi = shift_km1(f_moe.astype(jnp.int32)) > 0
+        v2i = shift_km1(ie)
+        fii = shift_km1(f_ie.astype(jnp.int32)) > 0
+        # pre-invalidation snapshot: the backtrace recomputes offsets from
+        # the raw stored cells, i.e. WITHOUT the bound invalidation below
+        # (wfa.go:757-827) — bake those values into the aux plane
+        isk_nb = jnp.where(fmi | fii, jnp.maximum(v1i, v2i) + 1, 0)
+        bad = fmi & (v1i > tlen)
+        fmi, v1i = fmi & ~bad, jnp.where(bad, 0, v1i)
+        bad = fii & (v2i > tlen)
+        fii, v2i = fii & ~bad, jnp.where(bad, 0, v2i)
+        Isk = jnp.maximum(v1i, v2i) + 1
+        upd_i = fmi | fii
+        tag_i = jnp.where(fmi & (v1i >= v2i), T_INS_OPEN, T_INS_EXT)
+
+        # deletion (wfa.go:612-643): sources at k+1
+        v1d = shift_kp1(moe)
+        fmd = shift_kp1(f_moe.astype(jnp.int32)) > 0
+        v2d = shift_kp1(de)
+        fdd = shift_kp1(f_de.astype(jnp.int32)) > 0
+        dsk_nb = jnp.where(fmd | fdd, jnp.maximum(v1d, v2d), 0)
+        any_id_nb = fmi | fii | fmd | fdd
+        bad = fmd & ((v1d - ks) > qlen)
+        fmd, v1d = fmd & ~bad, jnp.where(bad, 0, v1d)
+        bad = fdd & ((v2d - ks) > qlen)
+        fdd, v2d = fdd & ~bad, jnp.where(bad, 0, v2d)
+        Dsk = jnp.maximum(v1d, v2d)
+        upd_d = fmd | fdd
+        tag_d = jnp.where(fmd & (v1d >= v2d), T_DEL_OPEN, T_DEL_EXT)
+
+        # mismatch / M with the reference tie-breaking (wfa.go:648-698)
+        v1x, fmx = mx, f_mx
+        off_def_nb = jnp.where(
+            any_id_nb | fmx,
+            jnp.maximum(jnp.maximum(isk_nb, dsk_nb), v1x + 1), 0)
+        bad = fmx & ((v1x > tlen) | ((v1x - ks) > qlen))
+        fmx, v1x = fmx & ~bad, jnp.where(bad, 0, v1x)
+        Msk = jnp.maximum(
+            jnp.maximum(jnp.where(upd_i, Isk, 0), jnp.where(upd_d, Dsk, 0)),
+            v1x + 1)
+        tag_m = jnp.where(
+            fmx & (Msk == v1x + 1), T_MISMATCH,
+            jnp.where(upd_i & (Msk == Isk), tag_i, tag_d))
+        wr_m = upd_i | upd_d | fmx
+
+        band = (ks >= lo_n) & (ks <= hi_n)
+        wr_i = upd_i & band & live
+        wr_d = upd_d & band & live
+        wr_m = wr_m & band & live
+
+        row_i_new = jnp.where(wr_i, (Isk << TYPE_BITS) | tag_i, 0)
+        row_d_new = jnp.where(wr_d, (Dsk << TYPE_BITS) | tag_d, 0)
+        # aux values: each cell's backtrace branch is selected by its OWN
+        # tag (InsertExt -> I-rule, DeleteExt -> D-rule, else the default
+        # M-rule, wfa.go:757-817)
+        aux_i_new = jnp.where(
+            wr_i,
+            (jnp.where(tag_i == T_INS_EXT, isk_nb, off_def_nb)
+             << TYPE_BITS) | tag_i, 0)
+        aux_d_new = jnp.where(
+            wr_d,
+            (jnp.where(tag_d == T_DEL_EXT, dsk_nb, off_def_nb)
+             << TYPE_BITS) | tag_d, 0)
+        aux_m_val = jnp.where(
+            tag_m == T_INS_EXT, isk_nb,
+            jnp.where(tag_m == T_DEL_EXT, dsk_nb, off_def_nb))
+
+        # merge a pre-existing seed wavefront at s2 (only score X can
+        # pre-exist; its slot has not been overwritten yet since X < WM)
+        slot_s2 = lax.rem(s2, WM)
+        slot_s2e = lax.rem(s2, WE)
+        at_seed = (s2 == X) if X > 0 else False
+        if X > 0:
+            cur = m_win[pl.ds(slot_s2, 1)][0]
+            row_m_old = jnp.where(at_seed, cur, 0)
+            ex_m_old = jnp.where(at_seed, slot_read(m_ex, slot_s2), 0) > 0
+            lo_m_old = slot_read(m_lo, slot_s2)
+            hi_m_old = slot_read(m_hi, slot_s2)
+        else:
+            row_m_old = jnp.zeros((BB, K), jnp.int32)
+            ex_m_old = jnp.zeros((BB, 1), bool)
+            lo_m_old = jnp.full((BB, 1), _BIG, jnp.int32)
+            hi_m_old = jnp.full((BB, 1), -_BIG, jnp.int32)
+        row_m_new = jnp.where(wr_m, (Msk << TYPE_BITS) | tag_m, row_m_old)
+        aux_m_new = jnp.where(wr_m, (aux_m_val << TYPE_BITS) | tag_m,
+                              row_m_old & 7)
+
+        any_i = jnp.any(wr_i, axis=1)[:, None]
+        any_d = jnp.any(wr_d, axis=1)[:, None]
+        any_m = jnp.any(wr_m, axis=1)[:, None]
+        lo_i_n = jnp.min(jnp.where(wr_i, ks, _BIG), axis=1, keepdims=True)
+        hi_i_n = jnp.max(jnp.where(wr_i, ks, -_BIG), axis=1, keepdims=True)
+        lo_d_n = jnp.min(jnp.where(wr_d, ks, _BIG), axis=1, keepdims=True)
+        hi_d_n = jnp.max(jnp.where(wr_d, ks, -_BIG), axis=1, keepdims=True)
+        lo_m_n = jnp.minimum(
+            jnp.min(jnp.where(wr_m, ks, _BIG), axis=1, keepdims=True),
+            jnp.where(ex_m_old, lo_m_old, _BIG))
+        hi_m_n = jnp.maximum(
+            jnp.max(jnp.where(wr_m, ks, -_BIG), axis=1, keepdims=True),
+            jnp.where(ex_m_old, hi_m_old, -_BIG))
+
+        frz = ~live
+        i_win[pl.ds(slot_s2e, 1)] = jnp.where(frz, 0, row_i_new)[None]
+        d_win[pl.ds(slot_s2e, 1)] = jnp.where(frz, 0, row_d_new)[None]
+        m_win[pl.ds(slot_s2, 1)] = jnp.where(
+            frz, jnp.where(at_seed, row_m_old, 0), row_m_new)[None]
+        slot_s2a = lax.rem(s2, 2)
+        ai_win[pl.ds(slot_s2a, 1)] = jnp.where(frz, 0, aux_i_new)[None]
+        ad_win[pl.ds(slot_s2a, 1)] = jnp.where(frz, 0, aux_d_new)[None]
+        am_win[pl.ds(slot_s2a, 1)] = jnp.where(
+            frz, jnp.where(at_seed, row_m_old & 7, 0), aux_m_new)[None]
+
+        i_lo = slot_write(i_lo, slot_s2e,
+                          jnp.where(frz | ~any_i, _BIG, lo_i_n))
+        i_hi = slot_write(i_hi, slot_s2e,
+                          jnp.where(frz | ~any_i, -_BIG, hi_i_n))
+        i_ex = slot_write(i_ex, slot_s2e,
+                          jnp.where(frz, 0, any_i.astype(jnp.int32)))
+        d_lo = slot_write(d_lo, slot_s2e,
+                          jnp.where(frz | ~any_d, _BIG, lo_d_n))
+        d_hi = slot_write(d_hi, slot_s2e,
+                          jnp.where(frz | ~any_d, -_BIG, hi_d_n))
+        d_ex = slot_write(d_ex, slot_s2e,
+                          jnp.where(frz, 0, any_d.astype(jnp.int32)))
+        keep_m = any_m | ex_m_old
+        m_lo = slot_write(
+            m_lo, slot_s2,
+            jnp.where(frz, jnp.where(ex_m_old, lo_m_old, _BIG),
+                      jnp.where(keep_m, lo_m_n, _BIG)))
+        m_hi = slot_write(
+            m_hi, slot_s2,
+            jnp.where(frz, jnp.where(ex_m_old, hi_m_old, -_BIG),
+                      jnp.where(keep_m, hi_m_n, -_BIG)))
+        m_ex = slot_write(
+            m_ex, slot_s2,
+            jnp.where(frz, ex_m_old.astype(jnp.int32),
+                      keep_m.astype(jnp.int32)))
+
+        return overflow, (m_lo, m_hi, m_ex, i_lo, i_hi, i_ex,
+                          d_lo, d_hi, d_ex)
+
+    def body(carry):
+        (s, done, overflow, final_s, term_cell, wbase,
+         m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex) = carry
+
+        live0 = (done == 0) & (overflow == 0)  # [BB, 1]
+        slot_s = lax.rem(s, WM)
+        slot_se = lax.rem(s, WE)
+        lo_ms = slot_read(m_lo, slot_s)
+        hi_ms = slot_read(m_hi, slot_s)
+        ex_ms = slot_read(m_ex, slot_s) > 0
+
+        # -- DMA bookkeeping: before writing into this chunk's obuf slot,
+        # wait out the DMA issued two chunks ago on the same slot.
+        c = s // CH
+
+        @pl.when((lax.rem(s, CH) == 0) & (c >= 2))
+        def _():
+            hist_dma(0, ob_m, c - 2).wait()
+            hist_dma(1, ob_i, c - 2).wait()
+            hist_dma(2, ob_d, c - 2).wait()
+
+        bands = (m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex)
+        if REORDER:
+            # a pair that terminates at s harmlessly writes s+1 rows
+            # (never read: rows above final_s are ignored downstream)
+            overflow, bands = run_next(s, done, overflow, live0, bands)
+            (m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex) = bands
+
+        # ---- extend (wfa.go:381-458) ----
+        # One select-chain pass over the 64-bit stop words plus a 64-bit
+        # clz; runs crossing the 64-bit group resolve via the
+        # first-stop-after table.  No gathers, no data-dependent loop.
+        cell = m_win[pl.ds(slot_s, 1)][0]
+        off = cell >> TYPE_BITS
+        valid = (cell > 0) & (ks >= lo_ms) & (ks <= hi_ms) & ex_ms & live0
+        h0 = off
+        v0 = off - ks
+        act0 = valid & (v0 > 0) & (v0 < qlen) & (h0 < tlen)
+        c0 = h0 + toff
+        w2 = jnp.clip(c0 >> 6, 0, Lw2 - 1)
+        if not STREAM:
+            word_hi, word_lo, fsa0 = select_chain(
+                Lw2,
+                lambda w: whi_ref[:, w * K:(w + 1) * K],
+                lambda w: wlo_ref[:, w * K:(w + 1) * K],
+                lambda w: fsa_ref[:, w * K:(w + 1) * K],
+                w2)
+        else:
+            # slide the VMEM window when any live lane leaves it; offsets
+            # only grow, so the window base is monotone.  Pairs whose
+            # spread exceeds the window are marked overflow and excluded.
+            wmax = jnp.max(jnp.where(act0, w2, -1))
+            wmin = jnp.clip(jnp.min(jnp.where(act0, w2, Lw2)),
+                            0, Lw2 - WV)
+            refill = wmax >= wbase + WV
+
+            @pl.when(refill)
+            def _():
+                table_dma(0, whi_ref, twhi, wmin).start()
+                table_dma(1, wlo_ref, twlo, wmin).start()
+                table_dma(2, fsa_ref, tfsa, wmin).start()
+                table_dma(0, whi_ref, twhi, wmin).wait()
+                table_dma(1, wlo_ref, twlo, wmin).wait()
+                table_dma(2, fsa_ref, tfsa, wmin).wait()
+
+            wbase = jnp.where(refill, wmin, wbase)
+            wbase_n = wbase
+            outrun = act0 & (w2 >= wbase_n + WV)
+            overflow = jnp.where(
+                jnp.any(outrun, axis=1)[:, None] & live0, 1, overflow)
+            act0 = act0 & ~outrun
+            word_hi, word_lo, fsa0 = select_chain(
+                WV,
+                lambda j: twhi[:, j * K:(j + 1) * K],
+                lambda j: twlo[:, j * K:(j + 1) * K],
+                lambda j: tfsa[:, j * K:(j + 1) * K],
+                w2, base=wbase_n)
+        r = c0 & 63
+        rl = jnp.maximum(r - 32, 0)  # clamped: unused branch must not trap
+        rr = jnp.clip(32 - r, 0, 31)
+        rc = r & 31  # clamped shift for the r < 32 branch
+        vis_hi = jnp.where(
+            r >= 32,
+            word_lo << rl,
+            (word_hi << rc) | jnp.where(r == 0, 0,
+                                        lax.shift_right_logical(word_lo, rr)),
+        )
+        vis_lo = jnp.where(r >= 32, 0, word_lo << rc)
+        n_ext = jnp.where(
+            vis_hi != 0,
+            lax.clz(vis_hi),
+            jnp.where(vis_lo != 0, 32 + lax.clz(vis_lo), fsa0 - c0),
+        )
+        n_ext = jnp.where(act0, n_ext, 0)
+        row_m = jnp.where(act0 & (n_ext > 0), cell + (n_ext << TYPE_BITS),
+                          cell)
+
+        # ---- termination (wfa.go:235-239) ----
+        cell_ak = jnp.sum(jnp.where(lane_k == j_ak, row_m, 0), axis=1,
+                          keepdims=True)
+        found_ak = ex_ms & (ak >= lo_ms) & (ak <= hi_ms) & (cell_ak > 0)
+        off_ak = jnp.where(found_ak, cell_ak >> TYPE_BITS, 0)
+        newly = live0 & ex_ms & (off_ak >= tlen)
+        final_s = jnp.where(newly, s, final_s)
+        term_cell = jnp.where(newly, cell_ak, term_cell)
+        done = jnp.where(newly, 1, done)
+        # A pair terminating at s may have picked up a spurious overflow
+        # earlier in this step (REORDER's run_next band-escape for s+1, or
+        # a stop-table window outrun on a diagonal the terminal cell does
+        # not need) — the reference checks termination before next
+        # (wfa.go:235-250), so a terminated pair's result is valid.
+        # Entering this step it had overflow == 0 (live0), so clearing
+        # here only cancels this step's bit.
+        overflow = jnp.where(newly, 0, overflow)
+        live = (done == 0) & (overflow == 0)
+
+        # ---- wf-adaptive reduce (wfa.go:461-540) ----
+        row_i = i_win[pl.ds(slot_se, 1)][0]
+        row_d = d_win[pl.ds(slot_se, 1)][0]
+        if REDUCE_ON:
+            red = ex_ms & live & ((hi_ms - lo_ms + 1) >= MIN_WF_LEN)
+            offc = row_m >> TYPE_BITS
+            hs = offc
+            vs = offc - ks
+            validc = (row_m > 0) & (ks >= lo_ms) & (ks <= hi_ms)
+            okd = validc & ~((vs < 0) | (vs >= qlen) | (hs >= tlen))
+            dist = jnp.maximum(tlen - hs, qlen - vs)
+            dmin = jnp.min(jnp.where(okd, dist, _BIG), axis=1, keepdims=True)
+            marked = okd & ((dist - dmin) > MAX_DIST_DIFF)
+            good = okd & ~marked
+            jj = lane_k
+            first_good = jnp.min(jnp.where(good, jj, _BIG), axis=1,
+                                 keepdims=True)
+            last_mark = jnp.max(
+                jnp.where(marked & (jj < first_good), jj, -_BIG),
+                axis=1, keepdims=True)
+            any_marked = jnp.any(marked, axis=1)[:, None]
+            any_good = jnp.any(good, axis=1)[:, None]
+            last_good = jnp.max(jnp.where(good, jj, -_BIG), axis=1,
+                                keepdims=True)
+            new_lo = jnp.where(last_mark > -_BIG, k0 + last_mark + 1, lo_ms)
+            new_hi = jnp.where(any_marked & any_good, k0 + last_good, hi_ms)
+            new_lo = jnp.where(red, new_lo, lo_ms)
+            new_hi = jnp.where(red, new_hi, hi_ms)
+
+            zero_m = validc & ((ks < new_lo) | (ks > new_hi)) & red
+            row_m = jnp.where(zero_m, 0, row_m)
+            m_lo = slot_write(m_lo, slot_s, jnp.where(red, new_lo, lo_ms))
+            m_hi = slot_write(m_hi, slot_s, jnp.where(red, new_hi, hi_ms))
+
+            # co-deletion from I and D (wfa.go:526-535)
+            def co_delete(row_c, lo_a, hi_a, ex_a, slot):
+                lo_cs = slot_read(lo_a, slot)
+                hi_cs = slot_read(hi_a, slot)
+                gate = red & (slot_read(ex_a, slot) > 0)
+                l1, h1, zl1, zh1 = delete_range_asc(
+                    lo_ms, new_lo - 1, lo_cs, hi_cs)
+                l2, h2, zl2, zh2 = delete_range_asc(
+                    new_hi + 1, hi_ms, l1, h1)
+                zero = gate & (((ks >= zl1) & (ks <= zh1))
+                               | ((ks >= zl2) & (ks <= zh2)))
+                row_c = jnp.where(zero, 0, row_c)
+                lo_a = slot_write(lo_a, slot, jnp.where(gate, l2, lo_cs))
+                hi_a = slot_write(hi_a, slot, jnp.where(gate, h2, hi_cs))
+                return row_c, lo_a, hi_a
+
+            row_i, i_lo, i_hi = co_delete(row_i, i_lo, i_hi, i_ex, slot_se)
+            row_d, d_lo, d_hi = co_delete(row_d, d_lo, d_hi, d_ex, slot_se)
+            i_win[pl.ds(slot_se, 1)] = row_i[None]
+            d_win[pl.ds(slot_se, 1)] = row_d[None]
+
+        m_win[pl.ds(slot_s, 1)] = row_m[None]
+
+        # ---- stream backtrace-aux row s to HBM ----
+        # aux row values were final at creation (aux = pre-extension
+        # offsets); masking by the current cell row applies this
+        # iteration's reduce/co-delete deletions
+        och = lax.rem(s, CH)
+        oslot = lax.rem(c, 2)
+        wrote = live0
+        slot_sa = lax.rem(s, 2)
+        am = am_win[pl.ds(slot_sa, 1)][0]
+        ai = ai_win[pl.ds(slot_sa, 1)][0]
+        ad = ad_win[pl.ds(slot_sa, 1)][0]
+        ob_m[pl.ds(oslot, 1), pl.ds(och, 1)] = jnp.where(
+            wrote & (row_m != 0), am, 0).astype(cell_dtype)[None, None]
+        ob_i[pl.ds(oslot, 1), pl.ds(och, 1)] = jnp.where(
+            wrote & (row_i != 0), ai, 0).astype(cell_dtype)[None, None]
+        ob_d[pl.ds(oslot, 1), pl.ds(och, 1)] = jnp.where(
+            wrote & (row_d != 0), ad, 0).astype(cell_dtype)[None, None]
+
+        @pl.when(lax.rem(s, CH) == CH - 1)
+        def _():
+            hist_dma(0, ob_m, c).start()
+            hist_dma(1, ob_i, c).start()
+            hist_dma(2, ob_d, c).start()
+
+        if not REORDER:
+            bands = (m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex)
+            overflow, bands = run_next(s, done, overflow, live, bands)
+            (m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex) = bands
+
+        return (s + 1, done, overflow, final_s, term_cell, wbase,
+                m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex)
+
+    def cond(carry):
+        s = carry[0]
+        done, overflow = carry[1], carry[2]
+        return (s < S - 1) & jnp.any((done == 0) & (overflow == 0))
+
+    z1 = jnp.zeros((BB, 1), jnp.int32)
+    carry = (jnp.int32(0), z1, ovf0, z1, z1, jnp.int32(-WV),
+             m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex)
+    carry = lax.while_loop(cond, body, carry)
+    s_exit, done, overflow, final_s, term_cell = carry[:5]
+
+    # flush the partial output chunk and drain outstanding DMAs
+    nchunks = (s_exit + CH - 1) // CH
+
+    @pl.when(lax.rem(s_exit, CH) != 0)
+    def _():
+        hist_dma(0, ob_m, nchunks - 1).start()
+        hist_dma(1, ob_i, nchunks - 1).start()
+        hist_dma(2, ob_d, nchunks - 1).start()
+
+    @pl.when(nchunks >= 1)
+    def _():
+        hist_dma(0, ob_m, nchunks - 1).wait()
+        hist_dma(1, ob_i, nchunks - 1).wait()
+        hist_dma(2, ob_d, nchunks - 1).wait()
+
+    @pl.when(nchunks >= 2)
+    def _():
+        hist_dma(0, ob_m, nchunks - 2).wait()
+        hist_dma(1, ob_i, nchunks - 2).wait()
+        hist_dma(2, ob_d, nchunks - 2).wait()
+
+    overflow = jnp.where(done == 0, 1, overflow)
+    res = jnp.concatenate(
+        [final_s, done, overflow, jnp.broadcast_to(s_exit, (BB, 1)),
+         term_cell] + [z1] * 3, axis=1)
+    out_ref[:] = res
+
+
+def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
+                     B: int, Lq: int, Ltb: int, interpret: bool = False,
+                     wv: int = 0):
+    """Run the fused score-loop kernel; returns
+    (final_s, done, overflow, term_cell, aux[3, S, B, K]) for B pairs.
+
+    ``aux`` holds, per cell, the backtrace's branch-selected
+    pre-extension offset and the cell tag (``offset0 << 3 | tag``, 0 =
+    absent) — everything the device backtrace's chase needs in ONE value;
+    ``term_cell`` is the raw packed M cell at (final_s, Ak) that
+    triggered termination (the backtrace start point).  Rows above a
+    pair's final score and overflow pairs' columns contain garbage —
+    consumers must respect final_s/overflow."""
+    p = cfg.penalties
+    S, K = cfg.s_cap, cfg.k_win
+    assert supports(cfg, Ltb), "config not supported by the fused kernel"
+
+    qlen = qlen.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+    toff = toff.astype(jnp.int32)
+    k0 = -toff
+    Ak = tlen - qlen
+
+    overflow0 = (Ak < k0) | (Ak >= k0 + K) | (0 < k0) | (0 >= k0 + K)
+    if not cfg.global_alignment:
+        overflow0 = overflow0 | ((tlen - 1) >= k0 + K)
+
+    words, fsa = _stop_tables(qb, tbuf, qlen, tlen, toff, K, Lq, Ltb)
+    # regroup the 32-bit stop words into 64-bit (hi, lo) pairs; the
+    # 64-level first-stop-after table is the 32-level one at odd indices
+    Lw = words.shape[-1]
+    if Lw % 2:
+        words = jnp.pad(words, ((0, 0), (0, 0), (0, 1)))
+        fsa = jnp.pad(fsa, ((0, 0), (0, 0), (0, 1)),
+                      constant_values=int(_BIG))
+    whi = jnp.transpose(words[..., 0::2], (0, 2, 1))  # [B, Lw2, K]
+    wlo = jnp.transpose(words[..., 1::2], (0, 2, 1))
+    fsa64 = jnp.transpose(fsa[..., 1::2], (0, 2, 1))
+    Lw2 = whi.shape[1]
+    # flatten to 2-D so the kernel's select chain uses cheap static lane
+    # slices (3-D ref slicing costs a relayout per load)
+    whi = whi.reshape(B, Lw2 * K)
+    wlo = wlo.reshape(B, Lw2 * K)
+    fsa64 = fsa64.reshape(B, Lw2 * K)
+
+    (row0, lo0, hi0, ex0), (rowx, lox, hix, exx) = _seed_rows(
+        qb, tbuf, qlen, tlen, toff,
+        mismatch=int(p.mismatch), global_alignment=cfg.global_alignment,
+        K=K, Lq=Lq, Ltb=Ltb)
+    if p.mismatch >= S:
+        overflow0 = overflow0 | exx
+
+    params = jnp.stack(
+        [qlen, tlen, toff, Ak - k0, overflow0.astype(jnp.int32),
+         lo0, hi0, ex0.astype(jnp.int32),
+         lox, hix, exx.astype(jnp.int32), Ak]
+        + [jnp.zeros_like(qlen)] * (_NP - 12), axis=1)
+
+    # block size: 32 pairs amortizes per-op cost (vector ops cost much
+    # the same regardless of sublane occupancy, so block padding is nearly
+    # free); shrink only when a block's aux plane would strain HBM
+    bb = B_BLK
+    while bb > 8 and S * K * bb * 12 > (6 << 30):
+        bb //= 2
+    # pad the batch to a block multiple (padding rows are overflow)
+    Bp = ((B + bb - 1) // bb) * bb
+    if Bp != B:
+        pad = Bp - B
+        params = jnp.concatenate(
+            [params, jnp.tile(params[:1], (pad, 1))
+             .at[:, 4].set(1)], axis=0)
+        whi = jnp.concatenate([whi, jnp.tile(whi[:1], (pad, 1))], 0)
+        wlo = jnp.concatenate([wlo, jnp.tile(wlo[:1], (pad, 1))], 0)
+        fsa64 = jnp.concatenate([fsa64, jnp.tile(fsa64[:1], (pad, 1))], 0)
+        row0 = jnp.concatenate([row0, jnp.zeros((pad, K), jnp.int32)], 0)
+        rowx = jnp.concatenate([rowx, jnp.zeros((pad, K), jnp.int32)], 0)
+
+    WM = max(p.mismatch, p.gap_open + p.gap_ext) + 1
+    WE = p.gap_ext + 1
+    # block size: 32 pairs amortizes per-op cost; shrink for small or
+    # memory-heavy batches so block padding stops wasting work
+    bb = bb
+    while bb > 8 and (B <= bb // 2 or S * K * bb * 12 > (3 << 30)):
+        bb //= 2
+    if wv <= 0:  # table window sized to a ~7MB VMEM budget
+        wv = min(64, max(16, (7 << 20) // (3 * bb * K * 4)))
+    WV = wv
+    stream = Lw2 > WV
+    # 16-bit aux cells when offsets fit 13 bits shrink the dominant
+    # history DMA stream and HBM footprint by half
+    cell16 = Ltb <= 4095
+    cell_dtype = jnp.int16 if cell16 else jnp.int32
+    kern = functools.partial(
+        _kernel, S=S, K=K, Lw2=Lw2, WV=WV, BB=bb,
+        X=int(p.mismatch), OE=int(p.gap_open + p.gap_ext),
+        E=int(p.gap_ext),
+        GLOBAL=cfg.global_alignment,
+        REDUCE_ON=cfg.adaptive is not None,
+        MIN_WF_LEN=int(cfg.adaptive.min_wf_len) if cfg.adaptive else 0,
+        MAX_DIST_DIFF=int(cfg.adaptive.max_dist_diff) if cfg.adaptive else 0,
+        CELL16=cell16,
+    )
+    table_space = pltpu.ANY if stream else pltpu.VMEM
+    if stream:
+        table_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+    else:
+        table_specs = [
+            pl.BlockSpec((bb, Lw2 * K), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3
+    twv = WV if stream else 1
+
+    nblk = Bp // bb
+    out, aux = pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((bb, _NP), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ] + table_specs + [
+            pl.BlockSpec((bb, K), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, K), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, 8), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, 8), jnp.int32),
+            jax.ShapeDtypeStruct((3, S, Bp, K), cell_dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((WM, bb, K), jnp.int32),
+            pltpu.VMEM((WE, bb, K), jnp.int32),
+            pltpu.VMEM((WE, bb, K), jnp.int32),
+            pltpu.VMEM((2, bb, K), jnp.int32),
+            pltpu.VMEM((2, bb, K), jnp.int32),
+            pltpu.VMEM((2, bb, K), jnp.int32),
+            pltpu.VMEM((2, CH, bb, K), cell_dtype),
+            pltpu.VMEM((2, CH, bb, K), cell_dtype),
+            pltpu.VMEM((2, CH, bb, K), cell_dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((bb, twv * K), jnp.int32),
+            pltpu.VMEM((bb, twv * K), jnp.int32),
+            pltpu.VMEM((bb, twv * K), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(params, whi, wlo, fsa64, row0, rowx)
+
+    final_s = out[:B, 0]
+    done = out[:B, 1] > 0
+    overflow = out[:B, 2] > 0
+    term_cell = out[:B, 4]
+    # aux stays padded to the block multiple — slicing would copy GBs;
+    # the backtrace takes the padded batch stride instead
+    return final_s, done, overflow, term_cell, aux, Bp

@@ -115,13 +115,18 @@ class AlignmentPipeline:
         # outrun the streaming window still finish on device) reads a
         # w_win-word slice per step
         engine = "jax" if (longest > 4096 and tier >= 2) else "auto"
-        # the kernel's 128-lane block minimum makes its aux history
+        # the main kernel's 128-lane block minimum makes its aux history
         # 3*s_cap*k_win*cell*128 bytes even for tiny batches; configs
-        # where that exceeds the HBM budget (very long reads) must run
-        # the JAX engine, whose batch can shrink below one lane block
+        # where that exceeds the HBM budget (very long reads) route to
+        # the pairs-on-sublanes long-read kernel (8-pair blocks), or the
+        # JAX engine where that kernel does not apply
         cell_b = 2 if max(lq, lt) + k_win <= 4095 else 4
         if 3 * s_cap * k_win * cell_b * 128 > cfg.hbm_budget:
-            engine = "jax"
+            if (engine != "jax" and cfg.options.global_alignment
+                    and k_win <= 512):
+                engine = "pallas_long"
+            else:
+                engine = "jax"
         if longest <= 4096 and k_win <= 512:
             w_win = None
         elif longest <= 4096:
@@ -144,10 +149,14 @@ class AlignmentPipeline:
         # underestimates at l=100k and crashes the TPU worker — a hard
         # fault, not a clean OOM)
         cell16 = max(lq, lt) + k_win <= 4095
-        mult = (7 if cell16 else 13) if pallas_likely else 40
+        if engine == "pallas_long":
+            mult, blk = (8 if cell16 else 16), 32
+        elif pallas_likely:
+            mult, blk = (7 if cell16 else 13), 128
+        else:
+            mult, blk = 40, 32
         per_pair = s_cap * k_win * mult + k_win * lw * 24
         b_cap = max(4, min(8192, int(cfg.hbm_budget // max(per_pair, 1))))
-        blk = 128 if pallas_likely else 32
         if b_cap >= blk:
             b_cap -= b_cap % blk  # keep batches a whole number of blocks
         # device footprint of one ACTUAL batch (pallas pads to 128-lane
