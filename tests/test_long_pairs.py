@@ -60,6 +60,41 @@ def test_l1000_semi_global_jax():
     _check(eng, oracle, pairs, "semi-l1000")
 
 
+def test_pipeline_indel_heavy_distribution_shift():
+    """Indel-heavy reads (long drifting diagonals) stress the tier
+    ladder's window heuristics; results must stay exact regardless of
+    which tier (or the oracle fallback) serves each pair."""
+    import random
+
+    from wfa_tpu.pipeline import AlignmentPipeline, PipelineConfig
+
+    rng = random.Random(4242)
+    BASES = "ACGT"
+    pairs = []
+    for _ in range(12):
+        n = rng.randint(400, 900)
+        q = [rng.choice(BASES) for _ in range(n)]
+        t = list(q)
+        # a few large indels (30-120bp) plus scattered noise
+        for _ in range(rng.randint(1, 4)):
+            pos = rng.randrange(max(1, len(t) - 1))
+            chunk = [rng.choice(BASES) for _ in range(rng.randint(30, 120))]
+            if rng.random() < 0.5:
+                t[pos:pos] = chunk
+            else:
+                del t[pos:pos + len(chunk)]
+        pairs.append(("".join(q).encode(), ("".join(t) or "A").encode()))
+    p = Penalties(4, 6, 2)
+    ad = AdaptiveReductionOption(10, 50, 1)
+    oracle = OracleAligner(p, Options(True), ad)
+    pipe = AlignmentPipeline(PipelineConfig(p, Options(True), ad,
+                                            batch_size=12, n_devices=1))
+    for (q, t), res in zip(pairs, pipe.align_all(pairs)):
+        ref = oracle.align(q, t)
+        assert res.score == ref.score, (q[:30], t[:30])
+        assert res.cigar(False) == ref.cigar(False)
+
+
 def test_pipeline_long_sequence_tiers():
     """l>4096 pairs through the production pipeline: exercises the
     long-sequence cap ladder (w_win streaming, JAX-engine tiers, serial
