@@ -165,3 +165,36 @@ def test_cli_resume(tmp_path, capsys):
     assert state.read_text() == "6"
     blocks = capsys.readouterr().out.count("align-score")
     assert blocks == 2
+
+
+def test_pipeline_survives_device_faults(monkeypatch):
+    """A device-side fault (e.g. a crashed TPU worker) must not lose the
+    run: failed chunks re-queue, and after repeated faults the remaining
+    work completes exactly on the host oracle (SURVEY §5 failure
+    detection/recovery)."""
+    from wfa_tpu import AdaptiveReductionOption, Options, Penalties
+    from wfa_tpu.engine import BatchAligner
+    from wfa_tpu.pipeline import AlignmentPipeline, PipelineConfig
+
+    pipe = AlignmentPipeline(PipelineConfig(
+        Penalties(4, 6, 2), Options(True), AdaptiveReductionOption(10, 50, 1),
+        batch_size=4, n_devices=1))
+    calls = {"n": 0}
+    orig = BatchAligner.submit_batch
+
+    def dying_submit(self, pairs):
+        calls["n"] += 1
+        raise RuntimeError("TPU worker process crashed or restarted")
+
+    monkeypatch.setattr(BatchAligner, "submit_batch", dying_submit)
+    pairs = [(b"ACCATACTCG", b"AGGATGCTCG"),
+             (b"ACGT", b"ACGT"), (b"AACGT", b"ACGTT")]
+    results = pipe.align_all(pairs)
+    assert calls["n"] >= 2  # it retried before giving up on the device
+    assert results[0].score == 12 and results[0].cigar(False) == "1M2X2M1X4M"
+    assert results[1].score == 0
+    monkeypatch.setattr(BatchAligner, "submit_batch", orig)
+    # a healthy pipeline object is unaffected
+    pipe2 = AlignmentPipeline(PipelineConfig(
+        Penalties(4, 6, 2), Options(True), batch_size=4, n_devices=1))
+    assert pipe2.align_all([(b"ACGT", b"ACGT")])[0].score == 0

@@ -33,7 +33,21 @@ from .constants import (
 from .oracle import Aligner as OracleAligner
 from .oracle import align as oracle_align
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):
+    # lazy device-stack exports: keep `import wfa_tpu` light (the oracle
+    # path needs no jax); the batched/parallel API loads on first touch
+    if name in ("BatchAligner", "EngineConfig"):
+        from . import engine
+
+        return getattr(engine, name)
+    if name in ("AlignmentPipeline", "PipelineConfig"):
+        from . import pipeline
+
+        return getattr(pipeline, name)
+    raise AttributeError(name)
 
 
 # -- recycling API parity --------------------------------------------------
@@ -55,8 +69,12 @@ def recycle_alignment_text(q, a, t) -> None:
 
 
 __all__ = [
+    "AlignmentPipeline",
     "AlignmentResult",
     "AdaptiveReductionOption",
+    "BatchAligner",
+    "EngineConfig",
+    "PipelineConfig",
     "DEFAULT_ADAPTIVE",
     "DEFAULT_OPTIONS",
     "DEFAULT_PENALTIES",

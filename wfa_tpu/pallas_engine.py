@@ -75,9 +75,11 @@ def supports(cfg: EngineConfig, Ltb: int) -> bool:
     wm = max(p.mismatch, p.gap_open + p.gap_ext) + 1
     if wm > 64 or p.gap_ext + 1 > 64:
         return False
-    if cfg.k_win > 512:  # VMEM budget for the window scratch; note
-        # semi-global needs k_win >= n+m-1 (full-span seeds), so longer
-        # semi-global pairs route to the JAX engine
+    # VMEM budget for the window scratch.  (A K=2176 semi-global build
+    # compiles and is bit-exact, but ops on [2176, 128] tiles run ~5x
+    # below the [512,128] efficiency and lose to the XLA engine — wide
+    # full-span windows stay on the XLA engine.)
+    if cfg.k_win > 512:
         return False
     if cfg.s_cap % CH != 0:
         return False
@@ -808,10 +810,10 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
 
     WM = max(p.mismatch, p.gap_open + p.gap_ext) + 1
     WE = p.gap_ext + 1
-    # wide windows (semi-global full-span) halve the DMA chunk and the
+    # wide windows (semi-global full-span) shrink the DMA chunk and the
     # minimum table window so the VMEM working set stays under budget
-    ch = CH if K <= 256 else 4
-    budget_wv = max(4, (6 << 20) // (3 * bb * K * 4))
+    ch = CH if K <= 256 else (4 if K <= 512 else 2)
+    budget_wv = max(4, ((6 if K <= 512 else 12) << 20) // (3 * bb * K * 4))
     if wv <= 0:
         wv = cfg.w_win or 0  # engine-config hint (also the jit key)
     # explicit windows are clamped to the VMEM budget, never raised

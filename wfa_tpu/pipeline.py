@@ -52,6 +52,7 @@ class AlignmentPipeline:
         self.cfg = cfg
         self._oracle = OracleAligner(cfg.penalties, cfg.options, cfg.adaptive)
         self._engines = {}
+        self._device_errors = 0  # device-fault counter (see _device_fault)
         self._mesh = None
         if cfg.use_device:
             import jax
@@ -218,6 +219,8 @@ class AlignmentPipeline:
         # the device pipeline stays full (dispatch latency is hidden).
         pending = {key: items for key, items in buckets.items()}
         for tier in (0, 1, 2):
+            if self._device_errors >= 2:
+                break  # device unhealthy — finish on the host oracle
             inflight = []
             for (lq_c, lt_c), items in pending.items():
                 if not items:
@@ -235,24 +238,32 @@ class AlignmentPipeline:
                 skip_rest = False
                 for start in range(0, len(items), bs):
                     chunk = items[start : start + bs]
-                    if skip_rest:
+                    if skip_rest or self._device_errors >= 2:
                         # probe said this tier's caps don't fit the
-                        # workload — push straight to the next tier
+                        # workload (or the device died) — push on
                         inflight.append(
                             ((lq_c, lt_c), eng, chunk, [None] * len(chunk)))
                         continue
-                    handle = eng.submit_batch([p for _, p in chunk])
-                    if serial or (probe and start == 0):
-                        # drain the first chunk as a probe (and every
-                        # chunk of multi-GB configs)
-                        out = eng.finish_batch(handle, fallback=False)
-                        inflight.append(((lq_c, lt_c), eng, chunk, out))
-                        if probe and start == 0:
-                            n_bad = sum(r is None for r in out)
-                            if n_bad * 10 >= len(out) * 9:
-                                skip_rest = True
-                    else:
-                        inflight.append(((lq_c, lt_c), eng, chunk, handle))
+                    try:
+                        handle = eng.submit_batch([p for _, p in chunk])
+                        if serial or (probe and start == 0):
+                            # drain the first chunk as a probe (and every
+                            # chunk of multi-GB configs)
+                            out = eng.finish_batch(handle, fallback=False)
+                            inflight.append(((lq_c, lt_c), eng, chunk, out))
+                            if probe and start == 0:
+                                n_bad = sum(r is None for r in out)
+                                if n_bad * 10 >= len(out) * 9:
+                                    skip_rest = True
+                        else:
+                            inflight.append(((lq_c, lt_c), eng, chunk, handle))
+                    except Exception as exc:  # device fault (SURVEY §5):
+                        # a crashed TPU worker must not lose the run —
+                        # the chunk re-queues, and after repeated faults
+                        # the remaining work finishes on the host oracle
+                        self._device_fault(exc)
+                        inflight.append(
+                            ((lq_c, lt_c), eng, chunk, [None] * len(chunk)))
             nxt = {key: [] for key in pending}
             # two-pass finish: fetch scalars + dispatch trimmed token
             # slices for every batch first, then collect the tokens —
@@ -262,13 +273,22 @@ class AlignmentPipeline:
                 if isinstance(handle, list):
                     staged.append((key, eng, chunk, handle))
                 else:
-                    staged.append(
-                        (key, eng, chunk, eng.finish_small(handle)))
+                    try:
+                        staged.append(
+                            (key, eng, chunk, eng.finish_small(handle)))
+                    except Exception as exc:
+                        self._device_fault(exc)
+                        staged.append(
+                            (key, eng, chunk, [None] * len(chunk)))
             for key, eng, chunk, handle in staged:
                 if isinstance(handle, list):
                     out = handle  # already finished (serial big batch)
                 else:
-                    out = eng.finish_tokens(handle, fallback=False)
+                    try:
+                        out = eng.finish_tokens(handle, fallback=False)
+                    except Exception as exc:
+                        self._device_fault(exc)
+                        out = [None] * len(chunk)
                 for (idx, pair), res in zip(chunk, out):
                     if res is None:
                         nxt[key].append((idx, pair))
@@ -279,6 +299,15 @@ class AlignmentPipeline:
             for idx, (q, t) in items:
                 results[idx] = self._oracle.align(q, t)
         return results  # type: ignore[return-value]
+
+    def _device_fault(self, exc: Exception) -> None:
+        """Record a device-side failure (worker crash, OOM, comms)."""
+        import sys
+
+        self._device_errors += 1
+        print(f"wfa-tpu: device error ({exc}); "
+              f"{'falling back to host oracle' if self._device_errors >= 2 else 'retrying'}",
+              file=sys.stderr)
 
     def align_iter(
         self, pairs: Iterable[Tuple[bytes, bytes]], chunk: int = 4096
