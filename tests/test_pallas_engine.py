@@ -67,6 +67,23 @@ def test_pallas_engine_matches_oracle(global_alignment, adaptive):
             assert getattr(res_e, attr) == getattr(res_o, attr), (attr, q, t)
 
 
+@pytest.mark.parametrize("penalties", [Penalties(2, 3, 1), Penalties(1, 2, 2)],
+                         ids=["ext1", "mis1"])
+def test_pallas_degenerate_penalties(penalties):
+    """Small penalty steps disable the kernel's REORDER scheduling
+    (next-first emission needs x, e, o+e >= 2) — the reference-order
+    path must stay bit-exact too."""
+    rng = random.Random(777)
+    oracle = OracleAligner(penalties, Options(True), None)
+    engine = BatchAligner(penalties, Options(True), None, k_win=128,
+                          s_cap=128, engine="pallas")
+    pairs = random_pairs(rng, 8, max_len=60)
+    for (q, t), res_e in zip(pairs, engine.align_batch(pairs)):
+        res_o = oracle.align(q, t)
+        assert res_e.score == res_o.score, (q, t)
+        assert res_e.cigar(False) == res_o.cigar(False), (q, t)
+
+
 def test_pallas_streaming_window_matches_oracle():
     """Tiny streaming window (wv=2) forces HBM table refills every few
     steps; END-TO-END results (CIGARs and stats decoded through the
