@@ -108,7 +108,8 @@ class AlignmentPipeline:
         s_cap = (s1, 3 * s1, _round_up(worst + 2, 8))[min(tier, 2)]
         s_cap = min(s_cap, _round_up(worst + 2, 8))
         # a single batch's aux tensors must stay well under HBM even at
-        # the 32-pair block minimum (S rows cost 3 planes * 32 * K * 4B)
+        # a minimal batch (S rows cost 3 planes * B * K cells; 32 is the
+        # long-read kernel's block size, the most memory-bound path)
         s_mem_max = (7 << 30) // (3 * 32 * k_win * 4)
         s_cap = min(s_cap, _round_up(s_mem_max, 8) - 8)
         # long sequences: the Pallas kernel streams its own table
@@ -234,10 +235,18 @@ class AlignmentPipeline:
                     self._tier_caps(lq_max, lt_max, tier))
                 eng = self._engine(k_win, s_cap, w_win, engine)
                 bs = min(self.cfg.batch_size, b_cap)
-                probe = tier < 2 and len(items) > bs
+                n_chunks = (len(items) + bs - 1) // bs
+                probe = tier < 2 and n_chunks > 1
+                # the probe (does this tier's cap ladder fit the
+                # workload at all?) drains ASYNCHRONOUSLY: a few more
+                # chunks submit while it computes, so the common all-good
+                # case pays no serial stall; a bad probe then only wastes
+                # those already-submitted chunks
+                probe_at = min(3, n_chunks - 1)
+                probe_idx = None
                 skip_rest = False
-                for start in range(0, len(items), bs):
-                    chunk = items[start : start + bs]
+                for ci in range(n_chunks):
+                    chunk = items[ci * bs : (ci + 1) * bs]
                     if skip_rest or self._device_errors >= 2:
                         # probe said this tier's caps don't fit the
                         # workload (or the device died) — push on
@@ -246,17 +255,24 @@ class AlignmentPipeline:
                         continue
                     try:
                         handle = eng.submit_batch([p for _, p in chunk])
-                        if serial or (probe and start == 0):
-                            # drain the first chunk as a probe (and every
-                            # chunk of multi-GB configs)
+                        if serial:
+                            # multi-GB configs drain every chunk serially
                             out = eng.finish_batch(handle, fallback=False)
                             inflight.append(((lq_c, lt_c), eng, chunk, out))
-                            if probe and start == 0:
+                            if probe and ci == 0:
                                 n_bad = sum(r is None for r in out)
-                                if n_bad * 10 >= len(out) * 9:
-                                    skip_rest = True
-                        else:
-                            inflight.append(((lq_c, lt_c), eng, chunk, handle))
+                                skip_rest = n_bad * 10 >= len(out) * 9
+                            continue
+                        inflight.append(((lq_c, lt_c), eng, chunk, handle))
+                        if probe and ci == 0:
+                            probe_idx = len(inflight) - 1
+                        if probe_idx is not None and ci == probe_at:
+                            key_p, eng_p, chunk_p, h_p = inflight[probe_idx]
+                            out = eng_p.finish_batch(h_p, fallback=False)
+                            inflight[probe_idx] = (key_p, eng_p, chunk_p, out)
+                            probe_idx = None
+                            n_bad = sum(r is None for r in out)
+                            skip_rest = n_bad * 10 >= len(out) * 9
                     except Exception as exc:  # device fault (SURVEY §5):
                         # a crashed TPU worker must not lose the run —
                         # the chunk re-queues, and after repeated faults
