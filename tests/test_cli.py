@@ -194,7 +194,11 @@ def test_pipeline_survives_device_faults(monkeypatch):
     assert results[0].score == 12 and results[0].cigar(False) == "1M2X2M1X4M"
     assert results[1].score == 0
     monkeypatch.setattr(BatchAligner, "submit_batch", orig)
-    # a healthy pipeline object is unaffected
-    pipe2 = AlignmentPipeline(PipelineConfig(
-        Penalties(4, 6, 2), Options(True), batch_size=4, n_devices=1))
-    assert pipe2.align_all([(b"ACGT", b"ACGT")])[0].score == 0
+    # the fault budget is per call: the SAME pipeline recovers once the
+    # device is healthy again (transient tunnel errors must not disable
+    # the device path for the rest of a long run)
+    pipe._engines.clear()
+    calls["n"] = 0
+    results2 = pipe.align_all(pairs)
+    assert calls["n"] == 0 and results2[0].score == 12
+    assert pipe._device_errors == 0

@@ -220,3 +220,48 @@ def test_pack2_upload_packing():
     arr[1, 1] = ord("G")
     arr[0, 6] = ord("N")  # beyond hi[0]
     assert BatchAligner._pack2(arr, lo, hi) is not None
+
+
+def test_pack_rejects_embedded_nul():
+    """A sequence byte of \\0 must force the RAW upload path in both the
+    native and numpy packers (packing it as code 0 would decode as 'A'
+    on device — a silent bit-exactness violation found in review)."""
+    import numpy as np
+
+    from wfa_tpu import native
+
+    eng = BatchAligner(Penalties(), Options(True), None, k_win=128, s_cap=128)
+    nul_pairs = [(b"AC\x00GT", b"ACGTT"), (b"ACGT", b"ACGT")]
+    out = eng._pack_all(nul_pairs)
+    assert out[7] is None and out[8] is None, "native path must refuse NULs"
+    if native.lib is not None:
+        lib, native.lib = native.lib, None
+        try:
+            out_np = eng._pack_all(nul_pairs)
+        finally:
+            native.lib = lib
+        assert out_np[7] is None and out_np[8] is None
+    # ...and the engine still aligns such pairs exactly via the raw path
+    oracle = OracleAligner(Penalties(), Options(True), None)
+    for (q, t), res in zip(nul_pairs, eng.align_batch(nul_pairs)):
+        ref = oracle.align(q, t)
+        assert res.score == ref.score and res.cigar(False) == ref.cigar(False)
+
+
+def test_numpy_fast_pack_path_engages():
+    """The numpy fast pack path (no per-cell bounds mask) must actually
+    engage for ordinary padded DNA batches and match the masked path."""
+    import numpy as np
+
+    arr = np.zeros((2, 8), np.uint8)
+    arr[0, :5] = np.frombuffer(b"ACGTT", np.uint8)
+    arr[1, 2:5] = np.frombuffer(b"GGC", np.uint8)
+    lo = np.array([0, 2], np.int32)
+    hi = np.array([5, 5], np.int32)
+    from wfa_tpu.engine import _ACGT_LUT0
+
+    codes = _ACGT_LUT0[arr]
+    assert int(np.count_nonzero(arr)) == int(np.clip(hi - lo, 0, None).sum())
+    assert int(codes.max()) <= 3  # the fast-path guard holds
+    pk = BatchAligner._pack2(arr, lo, hi)
+    assert pk is not None and pk.shape == (2, 2)

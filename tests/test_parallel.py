@@ -148,3 +148,29 @@ def test_graft_dryrun_multichip_full_path():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+def test_mesh_padding_raw_token_path():
+    """Mesh-padded ragged batches through the RAW (int32) token path:
+    device tensors carry padded rows, and the decode must size by them,
+    not by the unpadded pair count (review finding: reshape crash that
+    silently burned the device-fault budget)."""
+    from wfa_tpu import Options, Penalties
+    from wfa_tpu.engine import BatchAligner
+    from wfa_tpu.parallel import make_dp_mesh
+
+    # small penalty steps blow the compact-token key bound -> raw path
+    eng = BatchAligner(Penalties(8, 6, 1), Options(True), None,
+                      k_win=64, s_cap=16384, engine="jax",
+                      mesh=make_dp_mesh(4))
+    from wfa_tpu import OracleAligner
+
+    oracle = OracleAligner(Penalties(8, 6, 1), Options(True), None)
+    pairs = [(b"ACGTACGTAC", b"ACGAACGTAC"), (b"ACGT", b"AGGT"),
+             (b"ACCTG", b"ACCTG")]  # 3 pairs over 4 devices: padded
+    for (q, t), res in zip(pairs, eng.align_batch(pairs)):
+        ref = oracle.align(q, t)
+        assert res.score == ref.score and res.cigar(False) == ref.cigar(False)

@@ -452,6 +452,7 @@ def _run_batch_impl(
         w0f = jnp.clip(c0 >> 5, 0, Lw - 1)
         w0 = w0f[..., None]
         overflow = st.overflow
+        outrun_now = jnp.zeros_like(st.done)
         if w_win is None or w_win >= Lw:
             sel0 = iw == w0
             word0 = jnp.sum(jnp.where(sel0, stop_words, 0), axis=-1)
@@ -468,8 +469,8 @@ def _run_batch_impl(
             word0 = jnp.sum(jnp.where(sel0, words_w, 0), axis=-1)
             fsa0 = jnp.min(jnp.where(sel0, fsa_w, _BIG), axis=-1)
             outrun = act0 & (w0f >= wlo + w_win)
-            ovr = jnp.any(outrun, axis=1)
-            overflow = overflow | ovr
+            outrun_now = jnp.any(outrun, axis=1)
+            overflow = overflow | outrun_now
             act0 = act0 & ~outrun
         vis = word0 << (c0 & 31)  # bit of c0 now at bit 31
         n_ext = jnp.where(vis != 0, lax.clz(vis), fsa0 - c0)
@@ -490,12 +491,19 @@ def _run_batch_impl(
         newly = (~st.done) & ex_ms & (off_ak >= tlen)
         final_s = jnp.where(newly, s, st.final_s)
         done = st.done | newly
-        # a pair that terminates at s with a table-window outrun picked up
-        # THIS step never needed the outran extension (its terminal cell
-        # was already past tlen, so extend skips it) — the reference
-        # checks termination before moving on (wfa.go:235-239), so the
-        # result is valid; cancel only bits set this step
-        overflow = jnp.where(newly & ~st.overflow, False, overflow)
+        # Global: a pair that terminates at s with a table-window outrun
+        # picked up THIS step never needed the outran extension (its
+        # terminal cell was already past tlen, so extend skips it) — the
+        # reference checks termination before moving on (wfa.go:235-239),
+        # so the result is valid; cancel only bits set this step.
+        # Semi-global must NOT cancel an outrun: the end finder reads
+        # every stored row, and the outran diagonal's cell is missing the
+        # extension the reference performs, which can change the nearest
+        # stop cell and with it the chosen end — those pairs must retry.
+        cancel = newly & ~st.overflow
+        if not cfg.global_alignment:
+            cancel = cancel & ~outrun_now
+        overflow = jnp.where(cancel, False, overflow)
 
         # ---------------- reduce (wfa.go:461-540) ----------------
         lo_m_all, hi_m_all = st.lo_m, st.hi_m
@@ -790,6 +798,11 @@ _run_batch = functools.partial(
 _ACGT_LUT = np.full(256, 255, np.uint8)
 for _i, _b in enumerate(b"ACGT"):
     _ACGT_LUT[_b] = _i
+# pad-tolerant variant for the fast pack path: \0 -> code 0 (re-zeroed
+# by the device unpack masks); in-bounds \0 is caught by the
+# nonzero-count check, never by the code values
+_ACGT_LUT0 = _ACGT_LUT.copy()
+_ACGT_LUT0[0] = 0
 _ACGT_INV = np.frombuffer(b"ACGT", np.uint8)
 
 
@@ -1041,13 +1054,15 @@ class BatchAligner:
         checks prove every nonzero byte is in-bounds ACGT and the pack
         needs no per-cell bounds mask.  Inputs with out-of-bounds junk
         or in-bounds \\0 take the exact masked path."""
-        codes = _ACGT_LUT[arr]
+        codes = _ACGT_LUT0[arr]  # \0 pads -> 0, non-ACGT -> 255
         expected_nonzero = int(np.clip(hi - lo, 0, None).sum())
         if (int(np.count_nonzero(arr)) == expected_nonzero
                 and int(codes.max(initial=0)) <= 3):
+            # every nonzero byte is in-bounds ACGT; pads are code 0
             c = codes.reshape(arr.shape[0], -1, 4)
             return (c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4)
                     | (c[:, :, 3] << 6)).astype(np.uint8)
+        codes = _ACGT_LUT[arr]
         pos = np.arange(arr.shape[1], dtype=np.int32)
         inb = (pos >= lo[:, None]) & (pos < hi[:, None])
         codes = np.where(inb, codes, 0)
@@ -1192,14 +1207,16 @@ class BatchAligner:
         # raw three-part stream (start token, iteration-major loop buffer,
         # tail) to assemble here.  Stats were computed on device; op
         # decoding is lazy (first .ops access).
-        B = len(pairs)
         if "toks" in out:
             buf = out["toks"]
         else:
+            # size by the device tensors, not len(pairs): mesh-padded
+            # batches carry extra rows that the zip below simply drops
+            Bd = out["tok0"].shape[0]
             buf = np.concatenate(
                 [
                     out["tok0"][:, None],
-                    np.transpose(out["buf"], (1, 0, 2)).reshape(B, -1),
+                    np.transpose(out["buf"], (1, 0, 2)).reshape(Bd, -1),
                     out["tail"],
                 ],
                 axis=1,

@@ -53,7 +53,8 @@ def _load():
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
     l.wfa_build_rows.restype = None
-    l.wfa_pack2.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    l.wfa_pack2.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                            ctypes.c_int64, ctypes.c_void_p]
     l.wfa_pack2.restype = ctypes.c_int32
     l.wfa_build_and_pack.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_void_p, ctypes.c_void_p,

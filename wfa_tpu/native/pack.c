@@ -49,22 +49,29 @@ void wfa_build_rows(const char **seqs, const int32_t *lens,
 
 /* 2-bit-pack a zero-padded row matrix (4 bases/byte, little pairs
  * first, matching BatchAligner._pack2).  Pad bytes (\0) pack as code 0
- * and are re-zeroed by the device unpack mask.  Returns 1 if every
- * nonzero byte was ACGT (packed_out valid), else 0. */
-int32_t wfa_pack2(const uint8_t *raw, int64_t n_bytes, uint8_t *packed_out) {
+ * and are re-zeroed by the device unpack mask.  Returns 1 iff every
+ * nonzero byte was ACGT AND the nonzero count equals
+ * ``expected_nonzero`` (the total in-bounds sequence length): a
+ * sequence with an embedded \0 lowers the count, which forces the raw
+ * path — \0 must NOT silently pack as code 0 = 'A' in bounds. */
+int32_t wfa_pack2(const uint8_t *raw, int64_t n_bytes,
+                  int64_t expected_nonzero, uint8_t *packed_out) {
     init_codes();
     uint32_t bad = 0;
+    int64_t nz = 0;
     const uint8_t *p = raw;
     uint8_t *o = packed_out;
     for (int64_t i = 0; i < n_bytes; i += 4) {
-        uint8_t c0 = p[i] ? CODES[p[i]] : 0;
-        uint8_t c1 = p[i + 1] ? CODES[p[i + 1]] : 0;
-        uint8_t c2 = p[i + 2] ? CODES[p[i + 2]] : 0;
-        uint8_t c3 = p[i + 3] ? CODES[p[i + 3]] : 0;
+        uint8_t b0 = p[i], b1 = p[i + 1], b2 = p[i + 2], b3 = p[i + 3];
+        uint8_t c0 = b0 ? CODES[b0] : 0;
+        uint8_t c1 = b1 ? CODES[b1] : 0;
+        uint8_t c2 = b2 ? CODES[b2] : 0;
+        uint8_t c3 = b3 ? CODES[b3] : 0;
         bad |= (uint32_t)(c0 | c1 | c2 | c3);
+        nz += (b0 != 0) + (b1 != 0) + (b2 != 0) + (b3 != 0);
         *o++ = (uint8_t)(c0 | (c1 << 2) | (c2 << 4) | (c3 << 6));
     }
-    return (bad & 0xfcu) ? 0 : 1;
+    return ((bad & 0xfcu) == 0 && nz == expected_nonzero) ? 1 : 0;
 }
 
 /* Fused: build rows + pack.  Returns 1 when packed_out is valid. */
@@ -72,5 +79,14 @@ int32_t wfa_build_and_pack(const char **seqs, const int32_t *lens,
                            const int32_t *offs, int32_t B, int32_t L,
                            uint8_t *raw_out, uint8_t *packed_out) {
     wfa_build_rows(seqs, lens, offs, B, L, raw_out);
-    return wfa_pack2(raw_out, (int64_t)B * L, packed_out);
+    int64_t expected = 0;
+    for (int32_t b = 0; b < B; b++) {
+        int32_t off = offs ? offs[b] : 0;
+        int32_t skip = 0;
+        if (off < 0) { skip = -off; off = 0; }
+        int32_t n = lens[b] - skip;
+        if (n > L - off) n = L - off;
+        if (n > 0) expected += n;
+    }
+    return wfa_pack2(raw_out, (int64_t)B * L, expected, packed_out);
 }

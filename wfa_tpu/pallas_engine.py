@@ -448,6 +448,7 @@ def _kernel(
         h0 = off
         v0 = off - ks
         act0 = valid & (v0 > 0) & (v0 < qlen) & (h0 < tlen)
+        outrun_now = jnp.zeros((1, BB), jnp.int32)
         c0 = h0 + toff
         w2 = jnp.clip(c0 >> 6, 0, Lw2 - 1)
         WF = 8  # fast-path word-group window (VMEM-resident tables)
@@ -506,7 +507,8 @@ def _kernel(
             wbase = jnp.where(refill, wmin, wbase)
             wbase_n = wbase
             outrun = act0 & (w2 >= wbase_n + WV)
-            overflow = jnp.where(sany(outrun) & live0, 1, overflow)
+            outrun_now = jnp.where(sany(outrun) & live0, 1, outrun_now)
+            overflow = jnp.where(outrun_now > 0, 1, overflow)
             act0 = act0 & ~outrun
             word_hi, word_lo, fsa0 = select_chain(
                 WV,
@@ -544,13 +546,16 @@ def _kernel(
         term_cell = jnp.where(newly, cell_ak, term_cell)
         done = jnp.where(newly, 1, done)
         # A pair terminating at s may have picked up a spurious overflow
-        # earlier in this step (REORDER's run_next band-escape for s+1, or
-        # a stop-table window outrun on a diagonal the terminal cell does
-        # not need) — the reference checks termination before next
-        # (wfa.go:235-250), so a terminated pair's result is valid.
+        # earlier in this step (REORDER's run_next band-escape for s+1,
+        # or — global only — a stop-table window outrun on a diagonal the
+        # terminal cell does not need); the reference checks termination
+        # before next (wfa.go:235-250), so such a pair's result is valid.
         # Entering this step it had overflow == 0 (live0), so clearing
-        # here only cancels this step's bit.
-        overflow = jnp.where(newly, 0, overflow)
+        # here only cancels this step's bit.  Semi-global keeps outrun
+        # overflows: its end finder reads every stored row, and the
+        # outran cell is missing the reference's extension.
+        cancel = newly if GLOBAL else (newly & (outrun_now == 0))
+        overflow = jnp.where(cancel, 0, overflow)
         live = (done == 0) & (overflow == 0)
 
         # ---- wf-adaptive reduce (wfa.go:461-540) ----

@@ -215,6 +215,10 @@ class AlignmentPipeline:
             return results  # type: ignore[return-value]
 
         buckets = bucket_pairs(valid)
+        # device-fault budget is per call: transient tunnel/worker errors
+        # (which self-recover in minutes) must not permanently disable
+        # the device for a pipeline that lives across a whole run
+        self._device_errors = 0
         # one work-list per bucket, retried through up to 3 cap tiers;
         # all batches of a tier are submitted before any is fetched, so
         # the device pipeline stays full (dispatch latency is hidden).
@@ -266,13 +270,6 @@ class AlignmentPipeline:
                         inflight.append(((lq_c, lt_c), eng, chunk, handle))
                         if probe and ci == 0:
                             probe_idx = len(inflight) - 1
-                        if probe_idx is not None and ci == probe_at:
-                            key_p, eng_p, chunk_p, h_p = inflight[probe_idx]
-                            out = eng_p.finish_batch(h_p, fallback=False)
-                            inflight[probe_idx] = (key_p, eng_p, chunk_p, out)
-                            probe_idx = None
-                            n_bad = sum(r is None for r in out)
-                            skip_rest = n_bad * 10 >= len(out) * 9
                     except Exception as exc:  # device fault (SURVEY §5):
                         # a crashed TPU worker must not lose the run —
                         # the chunk re-queues, and after repeated faults
@@ -280,6 +277,22 @@ class AlignmentPipeline:
                         self._device_fault(exc)
                         inflight.append(
                             ((lq_c, lt_c), eng, chunk, [None] * len(chunk)))
+                        continue
+                    if probe_idx is not None and ci == probe_at:
+                        key_p, eng_p, chunk_p, h_p = inflight[probe_idx]
+                        try:
+                            out = eng_p.finish_batch(h_p, fallback=False)
+                        except Exception as exc:
+                            # leave the probe entry as a live handle; the
+                            # finish phase retries it (own try/except) —
+                            # re-appending here would duplicate its pairs
+                            self._device_fault(exc)
+                            probe_idx = None
+                            continue
+                        inflight[probe_idx] = (key_p, eng_p, chunk_p, out)
+                        probe_idx = None
+                        n_bad = sum(r is None for r in out)
+                        skip_rest = n_bad * 10 >= len(out) * 9
             nxt = {key: [] for key in pending}
             # two-pass finish: fetch scalars + dispatch trimmed token
             # slices for every batch first, then collect the tokens —
