@@ -187,12 +187,13 @@ def test_match_free_alignment_stats():
 
 
 def test_small_step_penalties_large_s_cap():
-    """Small penalty steps with a large score cap overflow the compacted
-    token sort key; the engine must route to the raw token path and stay
-    bit-exact (advisor finding: key << 15 wraps when 2*NS >= 1 << 16)."""
+    """Small penalty steps with a huge score cap make the emission
+    stream too long for device compaction (the sort would cost more than
+    the raw trimmed-rows fetch); the engine must route to the raw token
+    path and stay bit-exact."""
     p = Penalties(8, 6, 1)
     oracle = OracleAligner(p, Options(True), None)
-    engine = BatchAligner(p, Options(True), None, k_win=64, s_cap=16384,
+    engine = BatchAligner(p, Options(True), None, k_win=64, s_cap=65536,
                           engine="jax")
     rng = random.Random(31)
     pairs = random_pairs(rng, 4, max_len=30)

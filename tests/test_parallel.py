@@ -164,7 +164,7 @@ def test_mesh_padding_raw_token_path():
 
     # small penalty steps blow the compact-token key bound -> raw path
     eng = BatchAligner(Penalties(8, 6, 1), Options(True), None,
-                      k_win=64, s_cap=16384, engine="jax",
+                      k_win=64, s_cap=65536, engine="jax",
                       mesh=make_dp_mesh(4))
     from wfa_tpu import OracleAligner
 

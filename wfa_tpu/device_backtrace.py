@@ -182,31 +182,30 @@ def device_stats(tok0, buf, tail, token_shift: int = 28):
 
 
 def compact_tokens(tok0, buf, tail, token_shift):
-    """Compact the emission-order token stream on device: one stable sort
-    moves non-empty tokens to the front of each row (order preserved by a
-    position-based key), so the host fetches ~2.5x fewer bytes.
+    """Compact the emission-order token stream on device: one stable
+    key-value sort moves non-empty tokens to the front of each row
+    (order preserved by a position-based key), so the host fetches the
+    used prefix instead of the sparse full stream (~2.5x fewer bytes for
+    16-bit tokens; ~16x for the int32 long-read path, whose rows are
+    mostly empty slots).
 
-    Only for 16-bit tokens (the packed sort key needs the headroom), and
-    only while the key `pos + NS` fits the 16 bits above the token —
-    callers must use the raw path otherwise (see engine._align_full_impl).
-    Returns (toks [B, NS] int16 with trailing zeros, n_tok [B])."""
-    assert token_shift <= 12
+    Works for any token width (`lax.sort` carries the tokens alongside
+    the int32 key — no packing headroom needed).  Returns
+    (toks [B, NS] int16/int32 with trailing zeros, n_tok [B])."""
     B = tok0.shape[0]
+    dtype = jnp.int16 if token_shift <= 12 else jnp.int32
     toks = jnp.concatenate(
         [tok0[:, None], jnp.transpose(buf, (1, 0, 2)).reshape(B, -1), tail],
         axis=1,
     ).astype(jnp.int32)  # [B, NS] emission order
     NS = toks.shape[1]
-    # key <= 2*NS-1 must not reach the int32 sign bit once shifted by 15
-    assert 2 * NS <= (1 << 16), f"token stream too long to compact ({NS})"
     nz = toks != 0
     pos = jnp.arange(NS, dtype=jnp.int32)[None, :]
     key = jnp.where(nz, pos, NS + pos)
-    packed = (key << 15) | toks  # tokens < 2^15
-    packed = jnp.sort(packed, axis=1)
-    out = (packed & ((1 << 15) - 1)).astype(jnp.int16)
+    _, out = lax.sort((jnp.broadcast_to(key, toks.shape), toks),
+                      dimension=1, num_keys=1)
     n_tok = jnp.sum(nz, axis=1).astype(jnp.int32)
-    return out, n_tok
+    return out.astype(dtype), n_tok
 
 
 def device_backtrace(

@@ -818,6 +818,21 @@ def _unpack2(pk, L, valid_lo, valid_hi):
     return jnp.where(ok, base, 0).astype(jnp.uint8)
 
 
+def _token_plan(s_cap: int, penalties, Lq: int, Ltb: int):
+    """(token_shift, compact) for the op-token outputs.
+
+    16-bit tokens whenever run lengths fit 12 bits; device compaction
+    (one key-value sort moving used tokens to the row front) whenever
+    the emission stream is short enough that the sort beats fetching the
+    raw trimmed rows — shared by the single-device and shard_map paths
+    so their output trees can never diverge."""
+    from .device_backtrace import iter_capacity
+
+    token_shift = 12 if max(Lq, Ltb) < (1 << 12) else 28
+    ns_stream = 2 * iter_capacity(s_cap, penalties) + 5
+    return token_shift, ns_stream <= (1 << 16)
+
+
 def _align_full_impl(
     qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig, B: int, Lq: int,
     Ltb: int, engine: str = "jax", packed: bool = False,
@@ -830,7 +845,7 @@ def _align_full_impl(
     pallas_engine.supports) unless ``engine`` says otherwise.
     """
     from .device_backtrace import (compact_tokens, device_backtrace,
-                                   device_stats, end_finder, iter_capacity)
+                                   device_stats, end_finder)
 
     S = cfg.s_cap
     K = cfg.k_win
@@ -893,13 +908,7 @@ def _align_full_impl(
             j_st, 0, K - 1)
         start_cell = jnp.where(ok_st, jnp.take(flat_m, idx), 0)
     active0 = done & ~overflow
-    token_shift = 12 if max(Lq, Ltb) < (1 << 12) else 28
-    # the compacted path packs `(pos + NS) << 15 | token` into int32, so
-    # the emission stream length NS = 2*it_cap + 5 must keep the key out
-    # of the sign bit (small penalty steps with large s_cap overflow it)
-    ns_stream = 2 * iter_capacity(S, cfg.penalties) + 5
-    if token_shift <= 12 and 2 * ns_stream > (1 << 16):
-        token_shift = 28
+    token_shift, compact = _token_plan(S, cfg.penalties, Lq, Ltb)
     tok0, buf, tail, it_used, qb0, qe, tb0, te = device_backtrace(
         aux, start_cell, k0, start_s, start_k, qlen, tlen, active0,
         penalties=cfg.penalties,
@@ -909,7 +918,7 @@ def _align_full_impl(
     )
     align_len, matches, gaps, gap_regions = device_stats(
         tok0, buf, tail, token_shift)
-    if token_shift <= 12:
+    if compact:
         toks, n_tok = compact_tokens(tok0, buf, tail, token_shift)
         tok_out = {"toks": toks}
         trim_len = n_tok

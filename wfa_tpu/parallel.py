@@ -118,13 +118,13 @@ def dp_align_full_fn(cfg: EngineConfig, mesh: Mesh, B: int, Lq: int,
     if fn is not None:
         return fn
 
-    from .device_backtrace import iter_capacity
+    from .engine import _token_plan
 
     lb = B // mesh.devices.size
     assert B % mesh.devices.size == 0
-    ns_stream = 2 * iter_capacity(cfg.s_cap, cfg.penalties) + 5
-    if max(Lq, Ltb) < (1 << 12) and 2 * ns_stream <= (1 << 16):
-        tok_specs = {"toks": P("dp")}  # device-compacted 16-bit tokens
+    _, compact = _token_plan(cfg.s_cap, cfg.penalties, Lq, Ltb)
+    if compact:
+        tok_specs = {"toks": P("dp")}  # device-compacted tokens
     else:
         tok_specs = {"tok0": P("dp"), "buf": P(None, "dp", None),
                      "tail": P("dp")}
