@@ -266,3 +266,18 @@ def test_numpy_fast_pack_path_engages():
     assert int(codes.max()) <= 3  # the fast-path guard holds
     pk = BatchAligner._pack2(arr, lo, hi)
     assert pk is not None and pk.shape == (2, 2)
+
+
+def test_numpy_pack_per_row_nul_check():
+    """The fast-path validation must be PER ROW: a batch-global nonzero
+    count can balance an in-bounds NUL in one row against out-of-bounds
+    junk in another and silently pack the NUL as 'A' (review repro)."""
+    import numpy as np
+
+    arr = np.zeros((2, 8), np.uint8)
+    arr[0, :5] = np.frombuffer(b"AC\x00GT", np.uint8)  # in-bounds NUL
+    arr[1, :3] = np.frombuffer(b"GGC", np.uint8)
+    arr[1, 6] = ord("G")  # out-of-bounds junk balances the global count
+    lo = np.zeros(2, np.int32)
+    hi = np.array([5, 3], np.int32)
+    assert BatchAligner._pack2(arr, lo, hi) is None

@@ -1064,8 +1064,11 @@ class BatchAligner:
         needs no per-cell bounds mask.  Inputs with out-of-bounds junk
         or in-bounds \\0 take the exact masked path."""
         codes = _ACGT_LUT0[arr]  # \0 pads -> 0, non-ACGT -> 255
-        expected_nonzero = int(np.clip(hi - lo, 0, None).sum())
-        if (int(np.count_nonzero(arr)) == expected_nonzero
+        # PER-ROW nonzero counts: a batch-global sum could balance an
+        # in-bounds NUL in one row against out-of-bounds junk in another
+        # and silently pack the NUL as 'A'
+        row_nz = np.count_nonzero(arr, axis=1)
+        if (np.array_equal(row_nz, np.clip(hi - lo, 0, None))
                 and int(codes.max(initial=0)) <= 3):
             # every nonzero byte is in-bounds ACGT; pads are code 0
             c = codes.reshape(arr.shape[0], -1, 4)
@@ -1136,11 +1139,21 @@ class BatchAligner:
             if not supports_long(self.cfg, Ltb):
                 engine = "jax"
         packed = tp is not None
-        args = (
-            jnp.asarray(qp if packed else qb),
-            jnp.asarray(tp if packed else tbuf),
-            jnp.asarray(qlen), jnp.asarray(tlen), jnp.asarray(toff),
-        )
+        host_args = (qp if packed else qb, tp if packed else tbuf,
+                     qlen, tlen, toff)
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-host: a jitted shard_map over a global mesh needs
+            # global jax.Arrays, not process-local numpy (every process
+            # runs the same input, so each can serve any shard index)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sh = NamedSharding(self.mesh, PartitionSpec("dp"))
+            args = tuple(
+                jax.make_array_from_callback(a.shape, sh,
+                                             lambda idx, a=a: a[idx])
+                for a in host_args)
+        else:
+            args = tuple(jnp.asarray(a) for a in host_args)
         if self.mesh is not None:
             from .parallel import dp_align_full_fn
 

@@ -26,15 +26,18 @@ def _build() -> bool:
         src_mtime = os.path.getmtime(_SRC)
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
             return True
+        # per-process temp name: concurrent first-run builds must not
+        # interleave writes into one .tmp and os.replace a corrupt .so
+        tmp = f"{_SO}.{os.getpid()}.tmp"
         for cc in ("cc", "gcc", "clang"):
             try:
                 r = subprocess.run(
-                    [cc, "-O3", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp"],
+                    [cc, "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
                     capture_output=True, timeout=120)
             except FileNotFoundError:
                 continue
             if r.returncode == 0:
-                os.replace(_SO + ".tmp", _SO)
+                os.replace(tmp, _SO)
                 return True
         return False
     except OSError:

@@ -80,7 +80,9 @@ def supports(cfg: EngineConfig, Ltb: int) -> bool:
     if cfg.k_win > 512:  # VMEM budget for the stop tables
         return False
     if not cfg.global_alignment:
-        return False  # the end finder needs the raw history
+        # global-only by design: semi-global runs the main kernel
+        # (fused end finder) or the XLA engine for wide spans
+        return False
     if cfg.s_cap % CH != 0:
         return False
     # any length is fine: when the stop tables outgrow VMEM the kernel
@@ -689,8 +691,6 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     Ak = tlen - qlen
 
     overflow0 = (Ak < k0) | (Ak >= k0 + K) | (0 < k0) | (0 >= k0 + K)
-    if not cfg.global_alignment:
-        overflow0 = overflow0 | ((tlen - 1) >= k0 + K)
 
     words, fsa = _stop_tables(qb, tbuf, qlen, tlen, toff, K, Lq, Ltb)
     # regroup the 32-bit stop words into 64-bit (hi, lo) pairs; the
@@ -746,7 +746,6 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     WE = p.gap_ext + 1
     # block size: 32 pairs amortizes per-op cost; shrink for small or
     # memory-heavy batches so block padding stops wasting work
-    bb = bb
     while bb > 8 and (B <= bb // 2 or S * K * bb * 12 > (3 << 30)):
         bb //= 2
     if wv <= 0:  # table window sized to a ~7MB VMEM budget
@@ -767,7 +766,6 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         MAX_DIST_DIFF=int(cfg.adaptive.max_dist_diff) if cfg.adaptive else 0,
         CELL16=cell16,
     )
-    table_space = pltpu.ANY if stream else pltpu.VMEM
     if stream:
         table_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
     else:

@@ -270,10 +270,14 @@ class AlignmentPipeline:
                         inflight.append(((lq_c, lt_c), eng, chunk, handle))
                         if probe and ci == 0:
                             probe_idx = len(inflight) - 1
-                    except Exception as exc:  # device fault (SURVEY §5):
-                        # a crashed TPU worker must not lose the run —
+                    except RuntimeError as exc:  # device fault (SURVEY
+                        # §5): a crashed TPU worker / dead tunnel raises
+                        # jax runtime errors (RuntimeError subclasses);
                         # the chunk re-queues, and after repeated faults
-                        # the remaining work finishes on the host oracle
+                        # the remaining work finishes on the host oracle.
+                        # Host-side programming errors (TypeError/
+                        # ValueError) propagate — silently rerouting them
+                        # to the oracle would hide real bugs.
                         self._device_fault(exc)
                         inflight.append(
                             ((lq_c, lt_c), eng, chunk, [None] * len(chunk)))
@@ -282,7 +286,7 @@ class AlignmentPipeline:
                         key_p, eng_p, chunk_p, h_p = inflight[probe_idx]
                         try:
                             out = eng_p.finish_batch(h_p, fallback=False)
-                        except Exception as exc:
+                        except RuntimeError as exc:
                             # leave the probe entry as a live handle; the
                             # finish phase retries it (own try/except) —
                             # re-appending here would duplicate its pairs
@@ -305,7 +309,7 @@ class AlignmentPipeline:
                     try:
                         staged.append(
                             (key, eng, chunk, eng.finish_small(handle)))
-                    except Exception as exc:
+                    except RuntimeError as exc:
                         self._device_fault(exc)
                         staged.append(
                             (key, eng, chunk, [None] * len(chunk)))
@@ -315,7 +319,7 @@ class AlignmentPipeline:
                 else:
                     try:
                         out = eng.finish_tokens(handle, fallback=False)
-                    except Exception as exc:
+                    except RuntimeError as exc:
                         self._device_fault(exc)
                         out = [None] * len(chunk)
                 for (idx, pair), res in zip(chunk, out):
