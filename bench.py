@@ -43,6 +43,13 @@ def _run(pipe, n, length, err, reps=3):
     return n / elapsed, elapsed, results[0]
 
 
+def _backend_name() -> str:
+    import jax
+
+    d = jax.devices()[0]
+    return f"{jax.default_backend()}:{getattr(d, 'device_kind', '?')}"
+
+
 def main() -> None:
     from wfa_tpu import AdaptiveReductionOption, Options, Penalties
     from wfa_tpu.pipeline import AlignmentPipeline, PipelineConfig
@@ -57,7 +64,9 @@ def main() -> None:
 
     if os.environ.get("WFA_BENCH_MATRIX"):
         # the reference's full matrix (benchmark.tsv); Go aln/s derived
-        # from its recorded times (n / time)
+        # from its recorded times (n / time).  Rows are printed to stderr
+        # AND recorded as a committed JSON artifact so README perf claims
+        # are reproducible records (BENCH_MATRIX_r<N>.json).
         rows = [
             (1000, 0.05, 6484), (1000, 0.10, 2393), (1000, 0.20, 904),
             (50000, 0.05, 81.9), (50000, 0.10, 27.9), (50000, 0.20, 10.4),
@@ -66,14 +75,19 @@ def main() -> None:
             # from its 50k scaling (~0.25x per doubling) for reference only
             (100000, 0.05, 20.0),
         ]
+        record = []
         for length, err, go in rows:
             n = 16384 if length <= 1000 else (64 if length <= 50000 else 16)
             aln_s, elapsed, _ = _run(pipe, n, length, err, reps=1)
             print(f"# l={length} e={err}: {aln_s:.1f} aln/s "
                   f"(Go {go}; {aln_s / go:.1f}x) n={n} {elapsed:.2f}s",
                   file=sys.stderr)
-        # semi-global rows (no Go baseline recorded in benchmark.tsv;
-        # l<=250 runs the fused kernel, l=1000 the XLA engine)
+            record.append({
+                "mode": "global", "l": length, "e": err, "n": n, "reps": 1,
+                "aln_per_s": round(aln_s, 1), "elapsed_s": round(elapsed, 3),
+                "go_aln_per_s": go, "vs_go": round(aln_s / go, 2),
+            })
+        # semi-global rows (no Go baseline recorded in benchmark.tsv)
         semi = AlignmentPipeline(dataclasses.replace(
             cfg, options=Options(global_alignment=False)))
         for length, err in ((200, 0.05), (1000, 0.05)):
@@ -81,6 +95,19 @@ def main() -> None:
             aln_s, elapsed, _ = _run(semi, n, length, err, reps=1)
             print(f"# semi-global l={length} e={err}: {aln_s:.1f} aln/s "
                   f"n={n} {elapsed:.2f}s", file=sys.stderr)
+            record.append({
+                "mode": "semi-global", "l": length, "e": err, "n": n,
+                "reps": 1, "aln_per_s": round(aln_s, 1),
+                "elapsed_s": round(elapsed, 3),
+                "go_aln_per_s": None, "vs_go": None,
+            })
+        out_path = os.environ.get(
+            "WFA_BENCH_MATRIX_OUT", "BENCH_MATRIX_r03.json")
+        with open(out_path, "w") as fh:
+            json.dump({"backend": _backend_name(), "rows": record}, fh,
+                      indent=1)
+            fh.write("\n")
+        print(f"# matrix written to {out_path}", file=sys.stderr)
         return
 
     aln_s, elapsed, r0 = _run(pipe, N_PAIRS, LENGTH, ERROR_RATE)

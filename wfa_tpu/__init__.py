@@ -68,6 +68,14 @@ def recycle_alignment_text(q, a, t) -> None:
     """No-op (RecycleAlignmentText, wfa_cigar.go:347)."""
 
 
+def recycle_component(component) -> None:
+    """No-op (RecycleComponent, wfa_component.go:74)."""
+
+
+def recycle_wave_front(wavefront) -> None:
+    """No-op (RecycleWaveFront, wfa_wavefront.go:70)."""
+
+
 __all__ = [
     "AlignmentPipeline",
     "AlignmentResult",
@@ -88,4 +96,6 @@ __all__ = [
     "recycle_aligner",
     "recycle_alignment_result",
     "recycle_alignment_text",
+    "recycle_component",
+    "recycle_wave_front",
 ]

@@ -927,10 +927,17 @@ def _align_full_impl(
         trim_len = jnp.broadcast_to(it_used, qb0.shape)
     # ONE small per-pair tensor instead of eleven: every host fetch
     # costs a tunnel round trip, so the scalars ride together
-    # (META_COLS names the columns)
+    # (META_COLS names the columns).  int16 when every column provably
+    # fits (scores <= s_cap, coords <= seq lens, align stats <= lq+lt,
+    # trim <= the token-stream capacity) — halves the meta download.
     meta = jnp.stack(
         [start_s, overflow.astype(jnp.int32), qb0, qe, tb0, te,
          align_len, matches, gaps, gap_regions, trim_len], axis=1)
+    from .device_backtrace import iter_capacity
+
+    ns_cap = 2 * iter_capacity(S, cfg.penalties) + 5
+    if max(Lq + Ltb, S, ns_cap) <= 32000:
+        meta = meta.astype(jnp.int16)
     return {"meta": meta, **tok_out}
 
 
@@ -984,6 +991,9 @@ class BatchAligner:
         self.mesh = mesh if (mesh is not None
                              and mesh.devices.size > 1) else None
         self._oracle = OracleAligner(penalties, options, adaptive)
+        # adaptive speculative-prefetch extents (token cols/rows), per
+        # token-output kind; None until the first batch calibrates them
+        self._tok_guess = {"toks": None, "buf": None}
 
     # -- public API ---------------------------------------------------------
 
@@ -1172,7 +1182,22 @@ class BatchAligner:
         for k, a in out.items():
             if k not in ("buf", "toks"):
                 a.copy_to_host_async()
-        return pairs, out
+        # SPECULATIVE token prefetch: the used token extent is only known
+        # from meta (host-side), but batches of one workload are alike —
+        # prefetch the previous batch's extent (plus slack) async NOW, so
+        # in the common case the drain needs zero extra device round
+        # trips after compute.  Batches that outrun the guess fetch the
+        # remainder in finish_small (rare; the guess self-adjusts).
+        big = "toks" if "toks" in out else "buf"
+        guess = self._tok_guess.get(big)
+        spec = None
+        if guess is not None:
+            if big == "toks":
+                spec = out["toks"][:, : min(out["toks"].shape[1], guess)]
+            else:
+                spec = out["buf"][: min(out["buf"].shape[0], guess)]
+            spec.copy_to_host_async()
+        return pairs, out, spec
 
     @staticmethod
     def _meta_cols(out):
@@ -1185,37 +1210,60 @@ class BatchAligner:
         return self.finish_tokens(self.finish_small(handle), fallback)
 
     def finish_small(self, handle):
-        """Fetch everything except the token buffer and queue the
-        trimmed token fetch; returns a handle for finish_tokens.
+        """Fetch everything except the token buffer and queue the token
+        fetch for whatever the speculative prefetch missed; returns a
+        handle for finish_tokens.
 
         Splitting the fetch lets a pipeline start the (latency-bound)
         token-slice dispatch of one batch while others still compute."""
-        pairs, dev = handle
+        pairs, dev, spec = handle
         big = "toks" if "toks" in dev else "buf"
         small = {k: a for k, a in dev.items() if k != big}
         out = jax.device_get(small)
         # fetch only the used token columns/rows (rounded so slice
         # programs are reused); the rest is all-zero
         n = int(out["meta"][:, M_TRIM].max()) if len(pairs) else 0
+        # adapt the speculative-prefetch extent to the workload (slack so
+        # batch-to-batch jitter doesn't force remainder fetches)
+        self._tok_guess[big] = ((max(n, 1) * 5 // 4 + 31) // 32) * 32
         if big == "toks":
             cols = min(dev["toks"].shape[1],
                        ((max(n, 1) + 63) // 64) * 64)
-            trim = dev["toks"][:, :cols]
+            if spec is not None and spec.shape[1] >= min(
+                    cols, dev["toks"].shape[1]):
+                trim = None  # prefetch covers the used extent
+            elif spec is not None:
+                trim = dev["toks"][:, spec.shape[1] : cols]
+            else:
+                trim = dev["toks"][:, :cols]
         else:
             rows = min(dev["buf"].shape[0], ((max(n, 1) + 31) // 32) * 32)
-            trim = dev["buf"][:rows]
-        trim.copy_to_host_async()
-        return pairs, dev, out, big, trim
+            if spec is not None and spec.shape[0] >= min(
+                    rows, dev["buf"].shape[0]):
+                trim = None
+            elif spec is not None:
+                trim = dev["buf"][spec.shape[0] : rows]
+            else:
+                trim = dev["buf"][:rows]
+        if trim is not None:
+            trim.copy_to_host_async()
+        return pairs, dev, out, big, spec, trim
 
     def finish_tokens(self, handle2, fallback: bool = True):
-        pairs, dev, out, big, trim = handle2
-        out[big] = np.asarray(trim)
+        pairs, dev, out, big, spec, trim = handle2
+        parts = [np.asarray(a) for a in (spec, trim) if a is not None]
+        axis = 1 if big == "toks" else 0
+        out[big] = parts[0] if len(parts) == 1 else np.concatenate(
+            parts, axis=axis)
         # release the device buffers eagerly — retry tiers of long
         # sequences allocate multi-GB programs and must not stack up
         # behind Python GC
         for a in dev.values():
             a.delete()
-        trim.delete()
+        if spec is not None:
+            spec.delete()
+        if trim is not None:
+            trim.delete()
         return self._finish(pairs, out, fallback)
 
     # -- host-side completion -------------------------------------------------

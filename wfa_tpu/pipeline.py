@@ -53,6 +53,7 @@ class AlignmentPipeline:
         self._oracle = OracleAligner(cfg.penalties, cfg.options, cfg.adaptive)
         self._engines = {}
         self._device_errors = 0  # device-fault counter (see _device_fault)
+        self._pool = None  # lazy drain ThreadPoolExecutor (_drain_pool)
         self._mesh = None
         if cfg.use_device:
             import jax
@@ -219,14 +220,23 @@ class AlignmentPipeline:
         # (which self-recover in minutes) must not permanently disable
         # the device for a pipeline that lives across a whole run
         self._device_errors = 0
-        # one work-list per bucket, retried through up to 3 cap tiers;
-        # all batches of a tier are submitted before any is fetched, so
-        # the device pipeline stays full (dispatch latency is hidden).
+        # one work-list per bucket, retried through up to 3 cap tiers.
+        # All batches of a tier are submitted before any is collected,
+        # and a small drain pool fetches+decodes finished batches on
+        # worker threads WHILE the main thread keeps packing/submitting —
+        # batch N's device->host transfers and Python decode overlap
+        # batch N+1's host pack and the device's compute (the GIL is
+        # released during the native pack, jax dispatch, and blocking
+        # device_get waits, which is where nearly all the wall time is).
         pending = {key: items for key, items in buckets.items()}
+        pool = self._drain_pool()
         for tier in (0, 1, 2):
             if self._device_errors >= 2:
                 break  # device unhealthy — finish on the host oracle
+            # inflight items: (bucket_key, chunk, out) with out either a
+            # finished result list or a Future resolving to one
             inflight = []
+            counted = set()  # futures whose device fault is already tallied
             for (lq_c, lt_c), items in pending.items():
                 if not items:
                     continue
@@ -247,7 +257,7 @@ class AlignmentPipeline:
                 # case pays no serial stall; a bad probe then only wastes
                 # those already-submitted chunks
                 probe_at = min(3, n_chunks - 1)
-                probe_idx = None
+                probe_fut = None
                 skip_rest = False
                 for ci in range(n_chunks):
                     chunk = items[ci * bs : (ci + 1) * bs]
@@ -255,21 +265,22 @@ class AlignmentPipeline:
                         # probe said this tier's caps don't fit the
                         # workload (or the device died) — push on
                         inflight.append(
-                            ((lq_c, lt_c), eng, chunk, [None] * len(chunk)))
+                            ((lq_c, lt_c), chunk, [None] * len(chunk)))
                         continue
                     try:
                         handle = eng.submit_batch([p for _, p in chunk])
                         if serial:
                             # multi-GB configs drain every chunk serially
                             out = eng.finish_batch(handle, fallback=False)
-                            inflight.append(((lq_c, lt_c), eng, chunk, out))
+                            inflight.append(((lq_c, lt_c), chunk, out))
                             if probe and ci == 0:
                                 n_bad = sum(r is None for r in out)
                                 skip_rest = n_bad * 10 >= len(out) * 9
                             continue
-                        inflight.append(((lq_c, lt_c), eng, chunk, handle))
+                        fut = pool.submit(self._drain_one, eng, handle)
+                        inflight.append(((lq_c, lt_c), chunk, fut))
                         if probe and ci == 0:
-                            probe_idx = len(inflight) - 1
+                            probe_fut = fut
                     except RuntimeError as exc:  # device fault (SURVEY
                         # §5): a crashed TPU worker / dead tunnel raises
                         # jax runtime errors (RuntimeError subclasses);
@@ -280,47 +291,29 @@ class AlignmentPipeline:
                         # to the oracle would hide real bugs.
                         self._device_fault(exc)
                         inflight.append(
-                            ((lq_c, lt_c), eng, chunk, [None] * len(chunk)))
+                            ((lq_c, lt_c), chunk, [None] * len(chunk)))
                         continue
-                    if probe_idx is not None and ci == probe_at:
-                        key_p, eng_p, chunk_p, h_p = inflight[probe_idx]
+                    if probe_fut is not None and ci == probe_at:
                         try:
-                            out = eng_p.finish_batch(h_p, fallback=False)
+                            out = probe_fut.result()
                         except RuntimeError as exc:
-                            # leave the probe entry as a live handle; the
-                            # finish phase retries it (own try/except) —
-                            # re-appending here would duplicate its pairs
                             self._device_fault(exc)
-                            probe_idx = None
+                            counted.add(probe_fut)
+                            probe_fut = None
                             continue
-                        inflight[probe_idx] = (key_p, eng_p, chunk_p, out)
-                        probe_idx = None
+                        probe_fut = None
                         n_bad = sum(r is None for r in out)
                         skip_rest = n_bad * 10 >= len(out) * 9
             nxt = {key: [] for key in pending}
-            # two-pass finish: fetch scalars + dispatch trimmed token
-            # slices for every batch first, then collect the tokens —
-            # the slice dispatch latency overlaps across batches
-            staged = []
-            for key, eng, chunk, handle in inflight:
-                if isinstance(handle, list):
-                    staged.append((key, eng, chunk, handle))
+            for key, chunk, item in inflight:
+                if isinstance(item, list):
+                    out = item
                 else:
                     try:
-                        staged.append(
-                            (key, eng, chunk, eng.finish_small(handle)))
+                        out = item.result()
                     except RuntimeError as exc:
-                        self._device_fault(exc)
-                        staged.append(
-                            (key, eng, chunk, [None] * len(chunk)))
-            for key, eng, chunk, handle in staged:
-                if isinstance(handle, list):
-                    out = handle  # already finished (serial big batch)
-                else:
-                    try:
-                        out = eng.finish_tokens(handle, fallback=False)
-                    except RuntimeError as exc:
-                        self._device_fault(exc)
+                        if item not in counted:
+                            self._device_fault(exc)
                         out = [None] * len(chunk)
                 for (idx, pair), res in zip(chunk, out):
                     if res is None:
@@ -332,6 +325,28 @@ class AlignmentPipeline:
             for idx, (q, t) in items:
                 results[idx] = self._oracle.align(q, t)
         return results  # type: ignore[return-value]
+
+    # -- threaded drain --------------------------------------------------------
+
+    def _drain_pool(self):
+        """Lazy 2-worker pool that fetches and decodes finished batches.
+
+        Two workers let one batch's blocking device wait overlap
+        another's decode; more would only add GIL contention (decode is
+        pure Python)."""
+        pool = self._pool
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="wfa-drain")
+            self._pool = pool
+        return pool
+
+    @staticmethod
+    def _drain_one(eng: BatchAligner, handle):
+        """Worker-thread body: fetch a submitted batch and decode it."""
+        return eng.finish_tokens(eng.finish_small(handle), fallback=False)
 
     def _device_fault(self, exc: Exception) -> None:
         """Record a device-side failure (worker crash, OOM, comms)."""
