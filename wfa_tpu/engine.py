@@ -946,6 +946,32 @@ _align_full = functools.partial(
 )(_align_full_impl)
 
 
+def _align_full2_impl(
+    seq, lens, *, cfg: EngineConfig, B: int, Lq: int, Ltb: int,
+    engine: str = "jax", packed: bool = False,
+):
+    """Combined-upload variant of :func:`_align_full_impl`.
+
+    ``seq`` is the query|target byte matrices concatenated along axis 1
+    and ``lens`` is ``stack([qlen, tlen, toff], axis=1)`` — each
+    host->device transfer through the tunnel pays a fixed latency, so
+    the five per-batch uploads ride as two.  Split here inside the jit
+    (free: XLA fuses the slices into the consumers).
+    """
+    qw = Lq // 4 if packed else Lq
+    qb = lax.slice(seq, (0, 0), (B, qw))
+    tbuf = lax.slice(seq, (0, qw), (B, seq.shape[1]))
+    return _align_full_impl(
+        qb, tbuf, lens[:, 0], lens[:, 1], lens[:, 2],
+        cfg=cfg, B=B, Lq=Lq, Ltb=Ltb, engine=engine, packed=packed,
+    )
+
+
+_align_full2 = functools.partial(
+    jax.jit, static_argnames=("cfg", "B", "Lq", "Ltb", "engine", "packed")
+)(_align_full2_impl)
+
+
 class BatchAligner:
     """Batched aligner: device score loop + device backtrace.
 
@@ -1149,8 +1175,13 @@ class BatchAligner:
             if not supports_long(self.cfg, Ltb):
                 engine = "jax"
         packed = tp is not None
-        host_args = (qp if packed else qb, tp if packed else tbuf,
-                     qlen, tlen, toff)
+        # two uploads instead of five: sequences ride one byte matrix,
+        # the three per-pair scalars one [B, 3] int32 (each transfer
+        # through the tunnel pays a fixed latency)
+        seq = np.concatenate(
+            [qp if packed else qb, tp if packed else tbuf], axis=1)
+        lens = np.stack([qlen, tlen, toff], axis=1).astype(np.int32)
+        host_args = (seq, lens)
         if self.mesh is not None and jax.process_count() > 1:
             # multi-host: a jitted shard_map over a global mesh needs
             # global jax.Arrays, not process-local numpy (every process
@@ -1170,7 +1201,7 @@ class BatchAligner:
             out = dp_align_full_fn(
                 self.cfg, self.mesh, B, Lq, Ltb, engine, packed)(*args)
         else:
-            out = _align_full(
+            out = _align_full2(
                 *args, cfg=self.cfg, B=B, Lq=Lq, Ltb=Ltb, engine=engine,
                 packed=packed,
             )

@@ -27,7 +27,8 @@ try:  # jax >= 0.8
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from .engine import EngineConfig, _State, _align_full_impl, _run_batch_impl
+from .engine import (EngineConfig, _State, _align_full2_impl,
+                     _run_batch_impl)
 
 # [S, B, K] histories / [S, B] bands shard along the batch axis (axis 1).
 _STATE_SPECS = _State(
@@ -133,13 +134,13 @@ def dp_align_full_fn(cfg: EngineConfig, mesh: Mesh, B: int, Lq: int,
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=_IN_SPECS,
+        in_specs=(P("dp"), P("dp")),  # combined (seq, lens) uploads
         out_specs=out_specs,
         check_vma=False,
     )
-    def _sharded(qb_s, tb_s, ql_s, tl_s, to_s):
-        return _align_full_impl(
-            qb_s, tb_s, ql_s, tl_s, to_s, cfg=cfg, B=lb, Lq=Lq, Ltb=Ltb,
+    def _sharded(seq_s, lens_s):
+        return _align_full2_impl(
+            seq_s, lens_s, cfg=cfg, B=lb, Lq=Lq, Ltb=Ltb,
             engine=engine, packed=packed,
         )
 
@@ -158,7 +159,10 @@ def dp_align_full(
     tokens and scalars cross the ICI, never the wavefront history.
     """
     fn = dp_align_full_fn(cfg, mesh, qb.shape[0], Lq, Ltb, engine, packed)
-    return fn(qb, tbuf, qlen, tlen, toff)
+    seq = jnp.concatenate([qb, tbuf], axis=1)
+    lens = jnp.stack([qlen.astype(jnp.int32), tlen.astype(jnp.int32),
+                      toff.astype(jnp.int32)], axis=1)
+    return fn(seq, lens)
 
 
 def dp_align_scores(

@@ -54,6 +54,7 @@ class AlignmentPipeline:
         self._engines = {}
         self._device_errors = 0  # device-fault counter (see _device_fault)
         self._pool = None  # lazy drain ThreadPoolExecutor (_drain_pool)
+        self._spool = None  # lazy submit ThreadPoolExecutor (_submit_pool)
         self._mesh = None
         if cfg.use_device:
             import jax
@@ -237,6 +238,7 @@ class AlignmentPipeline:
             # finished result list or a Future resolving to one
             inflight = []
             counted = set()  # futures whose device fault is already tallied
+            submit_futs = []  # outstanding async submits (serial fence)
             for (lq_c, lt_c), items in pending.items():
                 if not items:
                     continue
@@ -268,16 +270,32 @@ class AlignmentPipeline:
                             ((lq_c, lt_c), chunk, [None] * len(chunk)))
                         continue
                     try:
-                        handle = eng.submit_batch([p for _, p in chunk])
                         if serial:
-                            # multi-GB configs drain every chunk serially
+                            # multi-GB configs submit + drain serially —
+                            # fence the async submits first so two
+                            # multi-GB programs never overlap in HBM
+                            for f in submit_futs:
+                                try:
+                                    f.result()
+                                except RuntimeError:
+                                    pass  # tallied by its drain future
+                            submit_futs.clear()
+                            handle = eng.submit_batch(
+                                [p for _, p in chunk])
                             out = eng.finish_batch(handle, fallback=False)
                             inflight.append(((lq_c, lt_c), chunk, out))
                             if probe and ci == 0:
                                 n_bad = sum(r is None for r in out)
                                 skip_rest = n_bad * 10 >= len(out) * 9
                             continue
-                        fut = pool.submit(self._drain_one, eng, handle)
+                        # pack+upload+dispatch on the submit worker so
+                        # consecutive batches' (blocking) uploads overlap
+                        # the main thread's orchestration and the drain
+                        # workers' downloads
+                        sub = self._submit_pool().submit(
+                            eng.submit_batch, [p for _, p in chunk])
+                        submit_futs.append(sub)
+                        fut = pool.submit(self._drain_from, eng, sub)
                         inflight.append(((lq_c, lt_c), chunk, fut))
                         if probe and ci == 0:
                             probe_fut = fut
@@ -343,10 +361,30 @@ class AlignmentPipeline:
             self._pool = pool
         return pool
 
+    def _submit_pool(self):
+        """Lazy single-worker pool for pack+upload+dispatch (uploads
+        through the tunnel block, so they get their own lane; ONE worker
+        keeps submissions ordered)."""
+        pool = self._spool
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="wfa-submit")
+            self._spool = pool
+        return pool
+
     @staticmethod
     def _drain_one(eng: BatchAligner, handle):
         """Worker-thread body: fetch a submitted batch and decode it."""
         return eng.finish_tokens(eng.finish_small(handle), fallback=False)
+
+    @staticmethod
+    def _drain_from(eng: BatchAligner, sub_fut):
+        """Drain a batch whose submit ran async: wait for the submit
+        handle, then fetch + decode (submit-side device faults surface
+        here and are handled exactly like drain-side ones)."""
+        return AlignmentPipeline._drain_one(eng, sub_fut.result())
 
     def _device_fault(self, exc: Exception) -> None:
         """Record a device-side failure (worker crash, OOM, comms)."""
