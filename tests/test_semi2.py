@@ -1,0 +1,129 @@
+"""Two-phase semi-global path (wfa_tpu.semi2): bit-exactness through the
+full-span prefix -> narrow kernel resume -> dual-aux backtrace chain,
+plus the pipeline's escape ladder and the tier probe."""
+
+import numpy as np
+import pytest
+
+from wfa_tpu import AdaptiveReductionOption, Options, Penalties
+from wfa_tpu.datagen import generate_pairs
+from wfa_tpu.oracle import Aligner as OracleAligner
+
+PEN = Penalties(4, 6, 2)
+SEMI = Options(global_alignment=False)
+ADA = AdaptiveReductionOption(10, 50, 1)
+
+
+def _check(pairs, results, oracle, allow_none=False):
+    n_ok = 0
+    for (q, t), r in zip(pairs, results):
+        if r is None:
+            assert allow_none, "unexpected overflow"
+            continue
+        o = oracle.align(q, t)
+        assert r.score == o.score, (q, t, r.score, o.score)
+        assert r.cigar(False) == o.cigar(False), (q, t)
+        assert (r.q_begin, r.q_end, r.t_begin, r.t_end) == (
+            o.q_begin, o.q_end, o.t_begin, o.t_end)
+        assert (r.align_len, r.matches, r.gaps, r.gap_regions) == (
+            o.align_len, o.matches, o.gaps, o.gap_regions)
+        n_ok += 1
+    return n_ok
+
+
+def test_semi2_engine_bitexact():
+    """BatchAligner semi2: prefix + kernel resume, vs the oracle."""
+    from wfa_tpu.engine import BatchAligner
+
+    eng = BatchAligner(PEN, SEMI, ADA, k_win=256, s_cap=256,
+                       engine="semi2:40")
+    oracle = OracleAligner(PEN, SEMI, ADA)
+    pairs = generate_pairs(8, 200, 0.05, seed=5)
+    results = eng.align_batch(pairs, fallback=False)
+    assert _check(pairs, results, oracle, allow_none=True) >= 6
+
+
+def test_semi2_engine_tiny_s0_overflows_cleanly():
+    """A prefix shorter than the band collapse must escape (None), never
+    return a wrong result."""
+    from wfa_tpu.engine import BatchAligner
+
+    eng = BatchAligner(PEN, SEMI, ADA, k_win=256, s_cap=256,
+                       engine="semi2:16")
+    oracle = OracleAligner(PEN, SEMI, ADA)
+    pairs = generate_pairs(6, 200, 0.05, seed=5)
+    results = eng.align_batch(pairs, fallback=False)
+    _check(pairs, results, oracle, allow_none=True)
+
+
+def test_semi2_pipeline_bitexact():
+    """Pipeline routes full_span>512 semi-global through semi2 tiers."""
+    from wfa_tpu.pipeline import AlignmentPipeline, PipelineConfig
+
+    # n_devices=1: the semi2 router requires a mesh-less pipeline (the
+    # conftest exposes 8 virtual devices)
+    cfg = PipelineConfig(penalties=PEN, options=SEMI, adaptive=ADA,
+                         batch_size=6, n_devices=1)
+    pipe = AlignmentPipeline(cfg)
+    assert pipe._tier_caps(320, 322, 0)[4] == "semi2:48"
+    pairs = generate_pairs(6, 320, 0.05, seed=9)
+    results = pipe.align_all(pairs)
+    oracle = OracleAligner(PEN, SEMI, ADA)
+    assert _check(pairs, results, oracle) == 6
+
+
+def test_semi2_pipeline_uses_semi2_engine():
+    from wfa_tpu.pipeline import AlignmentPipeline, PipelineConfig
+
+    cfg = PipelineConfig(penalties=PEN, options=SEMI, adaptive=ADA,
+                         n_devices=1)
+    pipe = AlignmentPipeline(cfg)
+    k_win, s_cap, w_win, b_cap, engine, serial = pipe._tier_caps(
+        1000, 1010, 0)
+    assert engine == "semi2:48" and k_win == 256
+    k_win, s_cap, w_win, b_cap, engine, serial = pipe._tier_caps(
+        1000, 1010, 1)
+    assert engine == "semi2:176" and k_win == 512
+    # final tier stays the exact full-span engine
+    k_win, s_cap, w_win, b_cap, engine, serial = pipe._tier_caps(
+        1000, 1010, 2)
+    assert not engine.startswith("semi2") and k_win >= 2010
+    # no-adaptive runs keep the full span (bands never collapse)
+    cfg_a = PipelineConfig(penalties=PEN, options=SEMI, adaptive=None,
+                           n_devices=1)
+    pipe_a = AlignmentPipeline(cfg_a)
+    _, _, _, _, engine, _ = pipe_a._tier_caps(1000, 1010, 0)
+    assert not engine.startswith("semi2")
+
+
+def test_pipeline_probe_skips_doomed_tier():
+    """When >90% of the probe chunk overflows tier 0, the remaining
+    chunks skip straight to the next tier (pipeline.skip_rest) — and the
+    results are still exact (VERDICT r2 item 7)."""
+    from wfa_tpu.engine import BatchAligner
+    from wfa_tpu.pipeline import AlignmentPipeline, PipelineConfig
+
+    cfg = PipelineConfig(penalties=PEN, options=Options(True),
+                         adaptive=ADA, batch_size=16)
+    pipe = AlignmentPipeline(cfg)
+    # e=0.45 at l=150: scores ~550 blow tier 0's 256 cap for every pair
+    pairs = generate_pairs(96, 150, 0.45, seed=3)
+
+    calls = []
+    orig = BatchAligner.submit_batch
+
+    def counting(self, batch):
+        calls.append(len(batch))
+        return orig(self, batch)
+
+    BatchAligner.submit_batch = counting
+    try:
+        results = pipe.align_all(pairs)
+    finally:
+        BatchAligner.submit_batch = orig
+    oracle = OracleAligner(PEN, Options(True), ADA)
+    assert _check(pairs, results, oracle) == 96
+    # tier 0: 6 chunks exist, but the probe (chunk 0, drained after
+    # chunk probe_at=3 submits) reports >=90% overflow -> chunks 4,5
+    # never submit.  Without the skip there would be >= 12 submits.
+    assert len(calls) <= 10, calls

@@ -116,6 +116,7 @@ def end_finder(hist_m, k0, final_s, qlen, tlen, S, K):
     return (
         jnp.where(found, min_s, final_s),
         jnp.where(found, k_sel, ak),
+        found,
     )
 
 
@@ -213,6 +214,7 @@ def device_backtrace(
     *, penalties, global_alignment: bool, S: int, K: int,
     token_shift: int = 28, b_stride: int = 0,
     pairs_on_lanes: bool = False,
+    aux_old=None, k0_old=None, s_split: int = 0,
 ):
     """Exact device port of the backtrace loop (wfa.go:703-983).
 
@@ -248,24 +250,41 @@ def device_backtrace(
     Bs = b_stride or B  # aux batch stride (padded to a block multiple)
     # leading-dims-only reshape: stays a view of the tiled layout
     # (a full 1-D flatten would force a multi-GB retiling copy)
+    Sn = S - s_split  # rows held by `aux` (scores s_split..S-1)
     if pairs_on_lanes:
-        flat = aux.reshape(3 * S * K, Bs)
+        flat = aux.reshape(3 * Sn * K, Bs)
     else:
-        flat = aux.reshape(3 * S * Bs, K)
+        flat = aux.reshape(3 * Sn * Bs, K)
     bidx = jnp.arange(B, dtype=jnp.int32)
     code_tab = jnp.asarray(_TAG2CODE)
+    if aux_old is not None:
+        # two-phase handoff (wfa_tpu.semi2): scores below s_split read
+        # the phase-1 full-span aux (standard [3, s_split, B, Kf]
+        # layout with its own window origin k0_old)
+        S_old, Kf = aux_old.shape[1], aux_old.shape[3]
+        flat_old = aux_old.reshape(3 * S_old * B, Kf)
 
     def read_aux(s, comp, k):
         """One-cell aux gather at (s[B], comp[B], k[B]): returns
         (offset0, tag, found)."""
         j = k - k0
-        ok = (s >= 0) & (s < S) & (j >= 0) & (j < K)
-        sc = jnp.clip(s, 0, S - 1)
+        ok = (s >= s_split) & (s < S) & (j >= 0) & (j < K)
+        sc = jnp.clip(s - s_split, 0, Sn - 1)
         jc = jnp.clip(j, 0, K - 1)
         if pairs_on_lanes:
-            cell = flat[(comp * S + sc) * K + jc, bidx].astype(jnp.int32)
+            cell = flat[(comp * Sn + sc) * K + jc, bidx].astype(jnp.int32)
         else:
-            cell = flat[(comp * S + sc) * Bs + bidx, jc].astype(jnp.int32)
+            cell = flat[(comp * Sn + sc) * Bs + bidx, jc].astype(jnp.int32)
+        if aux_old is not None:
+            j_o = k - k0_old
+            ok_o = (s >= 0) & (s < s_split) & (j_o >= 0) & (j_o < Kf)
+            sc_o = jnp.clip(s, 0, S_old - 1)
+            jc_o = jnp.clip(j_o, 0, Kf - 1)
+            cell_o = flat_old[(comp * S_old + sc_o) * B + bidx,
+                              jc_o].astype(jnp.int32)
+            use_old = s < s_split
+            cell = jnp.where(use_old, cell_o, cell)
+            ok = jnp.where(use_old, ok_o, ok)
         found = ok & (cell > 0)
         cell = jnp.where(found, cell, 0)
         return cell >> TYPE_BITS, cell & ((1 << TYPE_BITS) - 1), found

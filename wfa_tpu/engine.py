@@ -62,6 +62,13 @@ from .oracle import Aligner as OracleAligner
 
 _BIG = np.int32(1 << 30)
 
+
+def _pad_len(n: int) -> int:
+    """Pad buffer lengths to coarse steps so same-bucket chunks with
+    slightly different maxima share one compiled program."""
+    g = 128 if n <= 4096 else 2048
+    return ((n + g - 1) // g) * g
+
 # columns of the fused per-pair "meta" output tensor (int32[B, 11]) —
 # one tensor so the host fetches all scalars in one tunnel round trip
 META_COLS = ("score", "overflow", "q_begin", "q_end", "t_begin", "t_end",
@@ -106,6 +113,11 @@ class EngineConfig:
     # length-bucketed batch progress together); pairs that outrun the
     # window are marked overflow and retried wider.
     w_win: Optional[int] = None
+    # prefix mode: run only the first s_cap-1 scores and return the raw
+    # state (pairs still running are NOT marked overflow) — the first
+    # phase of the two-phase semi-global path (wfa_tpu.semi2), which
+    # hands the collapsed live band off to the narrow-window kernel
+    prefix: bool = False
 
 
 def window_origin(qlen: int, tlen: int, k_win: int, global_alignment: bool) -> int:
@@ -786,6 +798,8 @@ def _run_batch_impl(
         return (st.s < S - 1) & jnp.any(~(st.done | st.overflow))
 
     final = lax.while_loop(cond, body, state)
+    if cfg.prefix:  # still-running pairs continue in phase 2
+        return final
     overflow = final.overflow | ~final.done
     return final._replace(overflow=overflow)
 
@@ -896,7 +910,7 @@ def _align_full_impl(
         if cfg.global_alignment:
             start_s, start_k = final_s, ak
         else:
-            start_s, start_k = end_finder(
+            start_s, start_k, _ = end_finder(
                 st.hist_m, k0, final_s, qlen, tlen, S, K,
             )
         # GetRaw of the start cell (wfa.go:738), one [B] gather
@@ -907,6 +921,26 @@ def _align_full_impl(
         idx = (jnp.clip(start_s, 0, S - 1) * B + bidx) * K + jnp.clip(
             j_st, 0, K - 1)
         start_cell = jnp.where(ok_st, jnp.take(flat_m, idx), 0)
+    return _finish_outputs(
+        aux, start_cell, k0, start_s, start_k, qlen, tlen, done, overflow,
+        cfg=cfg, Lq=Lq, Ltb=Ltb, b_stride=b_stride,
+        pairs_on_lanes=pairs_on_lanes,
+    )
+
+
+def _finish_outputs(
+    aux, start_cell, k0, start_s, start_k, qlen, tlen, done, overflow, *,
+    cfg: EngineConfig, Lq: int, Ltb: int, b_stride: int,
+    pairs_on_lanes: bool, aux_old=None, k0_old=None, s_split: int = 0,
+):
+    """Device backtrace + stats + token compaction + meta packing —
+    shared by the single-phase paths and the two-phase semi-global
+    resume (wfa_tpu.semi2, which passes the phase-1 aux as aux_old)."""
+    from .device_backtrace import (compact_tokens, device_backtrace,
+                                   device_stats, iter_capacity)
+
+    S = cfg.s_cap
+    K = cfg.k_win
     active0 = done & ~overflow
     token_shift, compact = _token_plan(S, cfg.penalties, Lq, Ltb)
     tok0, buf, tail, it_used, qb0, qe, tb0, te = device_backtrace(
@@ -915,6 +949,7 @@ def _align_full_impl(
         global_alignment=cfg.global_alignment,
         S=S, K=K, token_shift=token_shift, b_stride=b_stride,
         pairs_on_lanes=pairs_on_lanes,
+        aux_old=aux_old, k0_old=k0_old, s_split=s_split,
     )
     align_len, matches, gaps, gap_regions = device_stats(
         tok0, buf, tail, token_shift)
@@ -933,8 +968,6 @@ def _align_full_impl(
     meta = jnp.stack(
         [start_s, overflow.astype(jnp.int32), qb0, qe, tb0, te,
          align_len, matches, gaps, gap_regions, trim_len], axis=1)
-    from .device_backtrace import iter_capacity
-
     ns_cap = 2 * iter_capacity(S, cfg.penalties) + 5
     if max(Lq + Ltb, S, ns_cap) <= 32000:
         meta = meta.astype(jnp.int16)
@@ -1000,7 +1033,14 @@ class BatchAligner:
             s_cap=s_cap,
             w_win=w_win,
         )
-        if engine == "auto":
+        self.s_switch = 0
+        if engine.startswith("semi2"):
+            # two-phase semi-global (wfa_tpu.semi2): "semi2:<S0>" carries
+            # the phase-1 prefix length (the score where the full-span
+            # band has collapsed for this tier's workload)
+            self.s_switch = int(engine.split(":", 1)[1])
+            engine = "semi2"
+        elif engine == "auto":
             # fused Pallas kernel on real accelerators when the config
             # fits its windows; interpret-mode Pallas is far too slow for
             # the CPU path, so fall back to the XLA lockstep engine there
@@ -1046,11 +1086,6 @@ class BatchAligner:
             toff = (K // 2 - ak // 2).astype(np.int32)
         else:
             toff = qlen - 1
-        # pad buffer lengths to coarse steps so same-bucket chunks with
-        # slightly different maxima share one compiled program
-        def _pad_len(n: int) -> int:
-            g = 128 if n <= 4096 else 2048
-            return ((n + g - 1) // g) * g
         Lq = _pad_len(int(qlen.max()))
         Ltb = _pad_len(max(int((toff + tlen).max()), 1))
         assert Lq % 4 == 0 and Ltb % 4 == 0
@@ -1161,9 +1196,11 @@ class BatchAligner:
         else:
             pairs_padded = pairs
         B = len(pairs_padded)
+        engine = self.engine
+        if engine == "semi2":
+            return self._submit_semi2(pairs)
         qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = self._pack_all(
             pairs_padded)
-        engine = self.engine
         if engine == "pallas":
             from .pallas_engine import supports
 
@@ -1205,20 +1242,23 @@ class BatchAligner:
                 *args, cfg=self.cfg, B=B, Lq=Lq, Ltb=Ltb, engine=engine,
                 packed=packed,
             )
-        # queue device->host copies now so they overlap the next batch's
-        # compute instead of serializing at fetch time; the token buffer
-        # ('toks'/'buf', whichever this path emits) is fetched separately,
-        # trimmed to its used rows — shipping it whole here would double
-        # the dominant device->host payload over the slow tunnel
+        return self._queue_fetch(pairs, out)
+
+    def _queue_fetch(self, pairs, out):
+        """Queue device->host copies for a dispatched batch's outputs.
+
+        Small outputs copy now so they overlap the next batch's compute
+        instead of serializing at fetch time.  The token buffer
+        ('toks'/'buf', whichever this path emits) is SPECULATIVELY
+        prefetched at an adaptive extent: the used extent is only known
+        from meta (host-side), but batches of one workload are alike —
+        prefetching the previous batch's extent (plus slack) makes the
+        drain need zero extra device round trips in the common case;
+        batches that outrun the guess fetch the remainder in
+        finish_small (rare; the guess self-adjusts)."""
         for k, a in out.items():
             if k not in ("buf", "toks"):
                 a.copy_to_host_async()
-        # SPECULATIVE token prefetch: the used token extent is only known
-        # from meta (host-side), but batches of one workload are alike —
-        # prefetch the previous batch's extent (plus slack) async NOW, so
-        # in the common case the drain needs zero extra device round
-        # trips after compute.  Batches that outrun the guess fetch the
-        # remainder in finish_small (rare; the guess self-adjusts).
         big = "toks" if "toks" in out else "buf"
         guess = self._tok_guess.get(big)
         spec = None
@@ -1229,6 +1269,61 @@ class BatchAligner:
                 spec = out["buf"][: min(out["buf"].shape[0], guess)]
             spec.copy_to_host_async()
         return pairs, out, spec
+
+    def _submit_semi2(self, pairs):
+        """Two-phase semi-global submit (wfa_tpu.semi2): full-span
+        prefix -> fetch per-pair windows -> re-place targets -> narrow
+        kernel resume.  Returns the standard finish_small handle."""
+        from . import native
+        from .semi2 import M1_K02, phase2, prefix_export2
+
+        B = len(pairs)
+        qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = self._pack_all(pairs)
+        packed = tp is not None
+        seq = np.concatenate([qp if packed else qb, tp if packed else tbuf],
+                             axis=1)
+        lens = np.stack([qlen, tlen, toff], axis=1).astype(np.int32)
+        full_span = int((qlen + tlen).max()) + 1
+        Kf = ((full_span + 127) // 128) * 128
+        # full-table stop reads: the full-span seed rows have live cells
+        # at every column, so an anchored read window would mass-outrun
+        pcfg = dataclasses.replace(self.cfg, k_win=Kf, w_win=None)
+        exports = prefix_export2(
+            jnp.asarray(seq), jnp.asarray(lens), cfg=pcfg, B=B, Lq=Lq,
+            Ltb=Ltb, S0=self.s_switch, K2=self.cfg.k_win, packed=packed)
+        # the only mid-point host sync: the per-pair window origins
+        m1 = np.asarray(exports["meta1"])
+        k02 = m1[:, M1_K02].astype(np.int32)
+        toff2 = -k02
+        # re-place each target for its narrow window: column c holds
+        # target position c - toff2 (k02 > 0 drops the unreachable
+        # first k02 target bases)
+        t_eff = [t[int(k):] if int(k) > 0 else t
+                 for (q, t), k in zip(pairs, k02)]
+        tlen2 = np.fromiter((len(t) for t in t_eff), np.int32, B)
+        off_eff = np.maximum(toff2, 0).astype(np.int32)
+        Ltb2 = _pad_len(max(int((off_eff + tlen2).max()), 1))
+        if native.lib is not None:
+            t2raw, t2p = native.build_and_pack(t_eff, tlen2, off_eff, Ltb2)
+        else:
+            pad = b"\0" * (Ltb2 + 1)
+            t2raw = np.frombuffer(
+                b"".join((pad[: int(o)] + t)[:Ltb2].ljust(Ltb2, b"\0")
+                         for t, o in zip(t_eff, off_eff)),
+                np.uint8).reshape(B, Ltb2)
+            t2p = self._pack2(t2raw, off_eff, off_eff + tlen2)
+        packed2 = packed and t2p is not None
+        seq2 = np.concatenate(
+            [qp if packed2 else qb, t2p if packed2 else t2raw], axis=1)
+        lens2 = np.stack([qlen, tlen, toff2], axis=1).astype(np.int32)
+        out = phase2(
+            jnp.asarray(seq2), jnp.asarray(lens2),
+            exports["win_m"], exports["win_i"], exports["win_d"],
+            exports["ainit"], exports["b_m"], exports["b_ie"],
+            exports["meta1"], exports["aux_old"],
+            cfg=self.cfg, B=B, Lq=Lq, Ltb_full=Ltb, Ltb2=Ltb2,
+            S0=self.s_switch, packed=packed2)
+        return self._queue_fetch(pairs, out)
 
     @staticmethod
     def _meta_cols(out):

@@ -63,7 +63,7 @@ _BIG = np.int32(1 << 30)
 
 B_BLK = 128  # pair lanes per kernel block
 CH = 8  # history scores per output DMA chunk
-_NP = 16  # packed per-pair parameter rows
+_NP = 24  # packed per-pair parameter rows (12 base + 7 resume-state)
 
 
 def supports(cfg: EngineConfig, Ltb: int) -> bool:
@@ -93,14 +93,26 @@ def _iota(shape, dim):
 
 
 def _kernel(
-    params_ref, whi_ref, wlo_ref, fsa_ref, seed0_ref, seedx_ref,
-    out_ref, aux_ref,
-    m_win, i_win, d_win, am_win, ai_win, ad_win,
-    mb_lo, mb_hi, mb_ex, ib_lo, ib_hi, ib_ex, db_lo, db_hi, db_ex,
-    ob_m, ob_i, ob_d, sem, twhi, twlo, tfsa, tsem,
-    *, S, K, Lw2, WV, BB, CH, X, OE, E, GLOBAL, REDUCE_ON, MIN_WF_LEN,
-    MAX_DIST_DIFF, CELL16,
+    *refs,
+    S, K, Lw2, WV, BB, CH, X, OE, E, GLOBAL, REDUCE_ON, MIN_WF_LEN,
+    MAX_DIST_DIFF, CELL16, RESUME=None,
 ):
+    # RESUME=S0 runs the loop from score S0 with imported state (the
+    # two-phase semi-global handoff, wfa_tpu.semi2) instead of seeding;
+    # the in/out ref list differs between the two modes, hence *refs
+    if RESUME is None:
+        (params_ref, whi_ref, wlo_ref, fsa_ref, seed0_ref, seedx_ref,
+         out_ref, aux_ref, *scr) = refs
+        minit_ref = iinit_ref = dinit_ref = ainit_ref = binit_ref = None
+    else:
+        (params_ref, whi_ref, wlo_ref, fsa_ref, minit_ref, iinit_ref,
+         dinit_ref, ainit_ref, binit_ref, out_ref, aux_ref, *scr) = refs
+        seed0_ref = seedx_ref = None
+    (m_win, i_win, d_win, am_win, ai_win, ad_win,
+     mb_lo, mb_hi, mb_ex, ib_lo, ib_hi, ib_ex, db_lo, db_hi, db_ex,
+     ob_m, ob_i, ob_d, sem, twhi, twlo, tfsa, tsem) = scr
+    S0 = RESUME or 0
+    C0 = S0 // CH  # aux_ref rows cover scores S0..S-1 (offset C0 chunks)
     cell_dtype = jnp.int16 if CELL16 else jnp.int32
     STREAM = Lw2 > WV  # stop tables stay in HBM; a WV-group window
     # slides through VMEM as the block's offsets advance
@@ -128,37 +140,61 @@ def _kernel(
     row_k = _iota((K, BB), 0)
     ks = k0 + row_k  # [K, BB] diagonal of each row
 
-    # ---- init windows & band slots (seeding, wfa.go:143-184) ----
-    m_win[...] = jnp.zeros((WM * K, BB), jnp.int32)
-    i_win[...] = jnp.zeros((WE * K, BB), jnp.int32)
-    d_win[...] = jnp.zeros((WE * K, BB), jnp.int32)
-    m_win[0:K] = seed0_ref[:]
-    if 0 < X < WM:
-        m_win[X * K:(X + 1) * K] = seedx_ref[:]
-    # aux plane (backtrace pre-extension offsets): seed cells have no
-    # sources (the reference's from-itself break), so their aux value is
-    # just the tag bits
-    am_win[...] = jnp.zeros((2 * K, BB), jnp.int32)
-    ai_win[...] = jnp.zeros((2 * K, BB), jnp.int32)
-    ad_win[...] = jnp.zeros((2 * K, BB), jnp.int32)
-    am_win[0:K] = seed0_ref[:] & 7
+    if RESUME is None:
+        # ---- init windows & band slots (seeding, wfa.go:143-184) ----
+        m_win[...] = jnp.zeros((WM * K, BB), jnp.int32)
+        i_win[...] = jnp.zeros((WE * K, BB), jnp.int32)
+        d_win[...] = jnp.zeros((WE * K, BB), jnp.int32)
+        m_win[0:K] = seed0_ref[:]
+        if 0 < X < WM:
+            m_win[X * K:(X + 1) * K] = seedx_ref[:]
+        # aux plane (backtrace pre-extension offsets): seed cells have no
+        # sources (the reference's from-itself break), so their aux value
+        # is just the tag bits
+        am_win[...] = jnp.zeros((2 * K, BB), jnp.int32)
+        ai_win[...] = jnp.zeros((2 * K, BB), jnp.int32)
+        ad_win[...] = jnp.zeros((2 * K, BB), jnp.int32)
+        am_win[0:K] = seed0_ref[:] & 7
 
-    mb_lo[...] = jnp.full((WM, BB), _BIG, jnp.int32)
-    mb_hi[...] = jnp.full((WM, BB), -_BIG, jnp.int32)
-    mb_ex[...] = jnp.zeros((WM, BB), jnp.int32)
-    mb_lo[0:1] = lo0
-    mb_hi[0:1] = hi0
-    mb_ex[0:1] = ex0
-    if 0 < X < WM:
-        mb_lo[X:X + 1] = lox
-        mb_hi[X:X + 1] = hix
-        mb_ex[X:X + 1] = exx
-    ib_lo[...] = jnp.full((WE, BB), _BIG, jnp.int32)
-    ib_hi[...] = jnp.full((WE, BB), -_BIG, jnp.int32)
-    ib_ex[...] = jnp.zeros((WE, BB), jnp.int32)
-    db_lo[...] = jnp.full((WE, BB), _BIG, jnp.int32)
-    db_hi[...] = jnp.full((WE, BB), -_BIG, jnp.int32)
-    db_ex[...] = jnp.zeros((WE, BB), jnp.int32)
+        mb_lo[...] = jnp.full((WM, BB), _BIG, jnp.int32)
+        mb_hi[...] = jnp.full((WM, BB), -_BIG, jnp.int32)
+        mb_ex[...] = jnp.zeros((WM, BB), jnp.int32)
+        mb_lo[0:1] = lo0
+        mb_hi[0:1] = hi0
+        mb_ex[0:1] = ex0
+        if 0 < X < WM:
+            mb_lo[X:X + 1] = lox
+            mb_hi[X:X + 1] = hix
+            mb_ex[X:X + 1] = exx
+        ib_lo[...] = jnp.full((WE, BB), _BIG, jnp.int32)
+        ib_hi[...] = jnp.full((WE, BB), -_BIG, jnp.int32)
+        ib_ex[...] = jnp.zeros((WE, BB), jnp.int32)
+        db_lo[...] = jnp.full((WE, BB), _BIG, jnp.int32)
+        db_hi[...] = jnp.full((WE, BB), -_BIG, jnp.int32)
+        db_ex[...] = jnp.zeros((WE, BB), jnp.int32)
+    else:
+        # ---- init from the phase-1 handoff: window rows, aux row S0 and
+        # band slots arrive pre-arranged in circular-slot order
+        m_win[...] = minit_ref[:]
+        i_win[...] = iinit_ref[:]
+        d_win[...] = dinit_ref[:]
+        am_win[...] = jnp.zeros((2 * K, BB), jnp.int32)
+        ai_win[...] = jnp.zeros((2 * K, BB), jnp.int32)
+        ad_win[...] = jnp.zeros((2 * K, BB), jnp.int32)
+        sa0 = S0 % 2
+        am_win[sa0 * K:(sa0 + 1) * K] = ainit_ref[0:K]
+        ai_win[sa0 * K:(sa0 + 1) * K] = ainit_ref[K:2 * K]
+        ad_win[sa0 * K:(sa0 + 1) * K] = ainit_ref[2 * K:3 * K]
+        mb_lo[...] = binit_ref[0:WM]
+        mb_hi[...] = binit_ref[WM:2 * WM]
+        mb_ex[...] = binit_ref[2 * WM:3 * WM]
+        o = 3 * WM
+        ib_lo[...] = binit_ref[o:o + WE]
+        ib_hi[...] = binit_ref[o + WE:o + 2 * WE]
+        ib_ex[...] = binit_ref[o + 2 * WE:o + 3 * WE]
+        db_lo[...] = binit_ref[o + 3 * WE:o + 4 * WE]
+        db_hi[...] = binit_ref[o + 4 * WE:o + 5 * WE]
+        db_ex[...] = binit_ref[o + 5 * WE:o + 6 * WE]
 
     def src_read(win, lo_r, hi_r, ex_r, s2, diff, W):
         """Fused KRange (wfa_component.go:91-101, with its (0,0) fallback)
@@ -187,11 +223,13 @@ def _kernel(
 
     def hist_dma(comp, ob, c):
         # destination: component plane `comp` of the combined backtrace
-        # aux tensor [3, S, K, Bp] (offset0 << 3 | tag per cell)
+        # aux tensor [3, S - S0, K, Bp] (offset0 << 3 | tag per cell);
+        # chunk indices are absolute, rows offset by the resume score
         slot = lax.rem(c, 2)
         return pltpu.make_async_copy(
             ob.at[slot],
-            aux_ref.at[comp, pl.ds(c * CH, CH), :, pl.ds(blk * BB, BB)],
+            aux_ref.at[comp, pl.ds((c - C0) * CH, CH), :,
+                       pl.ds(blk * BB, BB)],
             sem.at[slot, comp],
         )
 
@@ -427,7 +465,7 @@ def _kernel(
         # wait out the DMA issued two chunks ago on the same slot.
         c = s // CH
 
-        @pl.when((lax.rem(s, CH) == 0) & (c >= 2))
+        @pl.when((lax.rem(s, CH) == 0) & (c >= C0 + 2))
         def _():
             hist_dma(0, ob_m, c - 2).wait()
             hist_dma(1, ob_i, c - 2).wait()
@@ -681,8 +719,14 @@ def _kernel(
         return (s < S - 1) & jnp.any((done == 0) & (overflow == 0))
 
     z1 = jnp.zeros((1, BB), jnp.int32)
-    carry = (jnp.int32(0), z1, ovf0, z1, z1, jnp.int32(-WV),
-             z1, z1, z1, z1)
+    if RESUME is None:
+        carry = (jnp.int32(0), z1, ovf0, z1, z1, jnp.int32(-WV),
+                 z1, z1, z1, z1)
+    else:
+        # done/final_s/term_cell and the end-finder state carry over
+        # from the phase-1 prefix (params rows 12..18)
+        carry = (jnp.int32(S0), prow(12), ovf0, prow(13), prow(14),
+                 jnp.int32(-WV), prow(15), prow(16), prow(17), prow(18))
     carry = lax.while_loop(cond, body, carry)
     (s_exit, done, overflow, final_s, term_cell, _,
      end_found, end_s, end_k, end_cell) = carry
@@ -696,13 +740,13 @@ def _kernel(
         hist_dma(1, ob_i, nchunks - 1).start()
         hist_dma(2, ob_d, nchunks - 1).start()
 
-    @pl.when(nchunks >= 1)
+    @pl.when(nchunks >= C0 + 1)
     def _():
         hist_dma(0, ob_m, nchunks - 1).wait()
         hist_dma(1, ob_i, nchunks - 1).wait()
         hist_dma(2, ob_d, nchunks - 1).wait()
 
-    @pl.when(nchunks >= 2)
+    @pl.when(nchunks >= C0 + 2)
     def _():
         hist_dma(0, ob_m, nchunks - 2).wait()
         hist_dma(1, ob_i, nchunks - 2).wait()
@@ -912,3 +956,190 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     # aux stays padded to the block multiple — slicing would copy GBs;
     # the backtrace takes the padded lane stride instead
     return final_s, done, overflow, term_cell, aux, Bp, end
+
+
+def pallas_run_resume(
+    qb, tbuf2, qlen, tlen, toff2, win_m, win_i, win_d, ainit, b_m, b_ie,
+    meta1, *, cfg: EngineConfig, B: int, Lq: int, Ltb2: int,
+    Ltb_full: int, S0: int, interpret: bool = False,
+):
+    """Resume the fused kernel at score ``S0`` from a phase-1 handoff
+    (wfa_tpu.semi2.prefix_export): the narrow-window second phase of
+    two-phase semi-global alignment.
+
+    ``tbuf2``/``toff2`` are the targets re-placed for the narrow window
+    (column c = h + toff2; toff2 may be negative, meaning the buffer
+    holds the target's suffix).  Returns
+    (final_s, done, overflow, start_s, start_k, start_cell,
+    aux2[3, s_cap - S0, K, Bp], Bp) — aux2 rows cover scores >= S0.
+    """
+    from .semi2 import (M1_DONE, M1_ECELL, M1_EFOUND, M1_EK, M1_ES,
+                        M1_FS, M1_OVF, M1_TERM)
+
+    p = cfg.penalties
+    S, K = cfg.s_cap, cfg.k_win
+    assert supports(cfg, Ltb2) and not cfg.global_alignment
+    assert S0 % CH == 0 and 0 < S0 < S
+    WM = max(p.mismatch, p.gap_open + p.gap_ext) + 1
+    WE = p.gap_ext + 1
+    NB = 3 * WM + 6 * WE
+
+    qlen = qlen.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+    toff2 = toff2.astype(jnp.int32)
+    k0 = -toff2
+    Ak = tlen - qlen
+
+    overflow0 = (meta1[:, M1_OVF] > 0) | (Ak < k0) | (Ak >= k0 + K)
+
+    words, fsa = _stop_tables(qb, tbuf2, qlen, tlen, toff2, K, Lq, Ltb2)
+    Lw = words.shape[-1]
+    if Lw % 2:
+        words = jnp.pad(words, ((0, 0), (0, 0), (0, 1)))
+        fsa = jnp.pad(fsa, ((0, 0), (0, 0), (0, 1)),
+                      constant_values=int(_BIG))
+    whi = jnp.transpose(words[..., 0::2], (2, 1, 0))
+    wlo = jnp.transpose(words[..., 1::2], (2, 1, 0))
+    fsa64 = jnp.transpose(fsa[..., 1::2], (2, 1, 0))
+    Lw2 = whi.shape[0]
+    whi = whi.reshape(Lw2 * K, B)
+    wlo = wlo.reshape(Lw2 * K, B)
+    fsa64 = fsa64.reshape(Lw2 * K, B)
+
+    params = jnp.stack(
+        [qlen, tlen, toff2, Ak - k0, overflow0.astype(jnp.int32),
+         jnp.zeros_like(qlen), jnp.zeros_like(qlen), jnp.zeros_like(qlen),
+         jnp.zeros_like(qlen), jnp.zeros_like(qlen), jnp.zeros_like(qlen),
+         Ak,
+         meta1[:, M1_DONE], meta1[:, M1_FS], meta1[:, M1_TERM],
+         meta1[:, M1_EFOUND], meta1[:, M1_ES], meta1[:, M1_EK],
+         meta1[:, M1_ECELL]]
+        + [jnp.zeros_like(qlen)] * (_NP - 19), axis=0)
+
+    # pairs-on-lanes layouts: [rows*K, B]
+    minit = jnp.transpose(win_m, (0, 2, 1)).reshape(WM * K, B)
+    iinit = jnp.transpose(win_i, (0, 2, 1)).reshape(WE * K, B)
+    dinit = jnp.transpose(win_d, (0, 2, 1)).reshape(WE * K, B)
+    ainit2 = jnp.transpose(ainit, (0, 2, 1)).reshape(3 * K, B)
+    binit = jnp.concatenate([b_m, b_ie], axis=0)  # [NB, B]
+    assert binit.shape[0] == NB
+
+    bb = B_BLK
+    if interpret:
+        while bb > 8 and B <= bb // 2:
+            bb //= 2
+    Bp = ((B + bb - 1) // bb) * bb
+    if Bp != B:
+        pad = Bp - B
+
+        def pad_lanes(a, ovf_row=None):
+            fill = jnp.tile(a[:, :1], (1, pad))
+            if ovf_row is not None:
+                fill = fill.at[ovf_row].set(1)
+            return jnp.concatenate([a, fill], axis=1)
+
+        params = pad_lanes(params, ovf_row=4)
+        whi = pad_lanes(whi)
+        wlo = pad_lanes(wlo)
+        fsa64 = pad_lanes(fsa64)
+        minit = pad_lanes(minit)
+        iinit = pad_lanes(iinit)
+        dinit = pad_lanes(dinit)
+        ainit2 = pad_lanes(ainit2)
+        binit = pad_lanes(binit)
+
+    ch = CH if K <= 256 else (4 if K <= 512 else 2)
+    budget_wv = max(4, ((6 if K <= 512 else 12) << 20) // (3 * bb * K * 4))
+    wv = cfg.w_win or 0
+    wv = min(wv, budget_wv) if wv > 0 else min(64, budget_wv)
+    WV = wv
+    stream = Lw2 > WV
+    # offsets are absolute target positions (<= tlen <= Ltb_full), even
+    # when the re-placed buffer is shorter — Ltb2 must not decide cell16
+    cell16 = Ltb_full + 2 <= 4095
+    cell_dtype = jnp.int16 if cell16 else jnp.int32
+    kern = functools.partial(
+        _kernel, S=S, K=K, Lw2=Lw2, WV=WV, BB=bb, CH=ch,
+        X=int(p.mismatch), OE=int(p.gap_open + p.gap_ext),
+        E=int(p.gap_ext),
+        GLOBAL=False,
+        REDUCE_ON=cfg.adaptive is not None,
+        MIN_WF_LEN=int(cfg.adaptive.min_wf_len) if cfg.adaptive else 0,
+        MAX_DIST_DIFF=int(cfg.adaptive.max_dist_diff) if cfg.adaptive else 0,
+        CELL16=cell16,
+        RESUME=S0,
+    )
+    if stream:
+        table_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+    else:
+        table_specs = [
+            pl.BlockSpec((Lw2 * K, bb), lambda b: (0, b),
+                         memory_space=pltpu.VMEM)
+        ] * 3
+    twv = WV if stream else 1
+
+    nblk = Bp // bb
+    out, aux2 = pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((_NP, bb), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ] + table_specs + [
+            pl.BlockSpec((WM * K, bb), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WE * K, bb), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WE * K, bb), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * K, bb), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, bb), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, bb), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((3, S - S0, K, Bp), cell_dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((WM * K, bb), jnp.int32),
+            pltpu.VMEM((WE * K, bb), jnp.int32),
+            pltpu.VMEM((WE * K, bb), jnp.int32),
+            pltpu.VMEM((2 * K, bb), jnp.int32),
+            pltpu.VMEM((2 * K, bb), jnp.int32),
+            pltpu.VMEM((2 * K, bb), jnp.int32),
+            pltpu.VMEM((WM, bb), jnp.int32),
+            pltpu.VMEM((WM, bb), jnp.int32),
+            pltpu.VMEM((WM, bb), jnp.int32),
+            pltpu.VMEM((WE, bb), jnp.int32),
+            pltpu.VMEM((WE, bb), jnp.int32),
+            pltpu.VMEM((WE, bb), jnp.int32),
+            pltpu.VMEM((WE, bb), jnp.int32),
+            pltpu.VMEM((WE, bb), jnp.int32),
+            pltpu.VMEM((WE, bb), jnp.int32),
+            pltpu.VMEM((2, ch, K, bb), cell_dtype),
+            pltpu.VMEM((2, ch, K, bb), cell_dtype),
+            pltpu.VMEM((2, ch, K, bb), cell_dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((twv * K, bb), jnp.int32),
+            pltpu.VMEM((twv * K, bb), jnp.int32),
+            pltpu.VMEM((twv * K, bb), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 << 20,
+        ),
+        interpret=interpret,
+    )(params, whi, wlo, fsa64, minit, iinit, dinit, ainit2, binit)
+
+    final_s = out[0, :B]
+    done = out[1, :B] > 0
+    overflow = out[2, :B] > 0
+    start = (out[5, :B], out[6, :B], out[7, :B])
+    return final_s, done, overflow, start, aux2, Bp

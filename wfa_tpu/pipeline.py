@@ -72,9 +72,23 @@ class AlignmentPipeline:
         cfg = self.cfg
         full_span = _round_up(lq + lt - 1 + 2, 128)
         longest = max(lq, lt)
+        semi2_s0 = None
         if not cfg.options.global_alignment:
-            # semi-global seeds span the full diagonal range
-            k_win = full_span
+            # semi-global seeds span the full diagonal range — but with
+            # wf-adaptive on, the band collapses to tens of diagonals
+            # once the best path pulls max_dist_diff ahead (measured
+            # last wide row: <=38 at e=0.05, <=86 at e=0.1, <=166 at
+            # e=0.2 for l<=1000).  The two-phase path (wfa_tpu.semi2)
+            # runs that wide prefix exactly, then resumes the fused
+            # kernel in a narrow window; the S0/k_win ladder covers
+            # rising error rates, and the exact full-span engine remains
+            # the final tier
+            if (cfg.adaptive is not None and full_span > 512
+                    and self._mesh is None and tier <= 1):
+                semi2_s0 = (48, 176)[tier]  # e<=0.05 / e<=0.2 collapse
+                k_win = (256, 512)[tier]
+            else:
+                k_win = full_span  # exact final tier (and -a / mesh runs)
         elif cfg.adaptive is not None:
             # wf-adaptive trims the band to ~2*max_dist_diff around the
             # optimal path, whose diagonal drifts like a random walk —
@@ -153,13 +167,25 @@ class AlignmentPipeline:
         # underestimates at l=100k and crashes the TPU worker — a hard
         # fault, not a clean OOM)
         cell16 = max(lq, lt) + k_win <= 4095
-        if engine == "pallas_long":
+        if semi2_s0 is not None:
+            engine = f"semi2:{semi2_s0}"
+            blk = 128
+            # the full-span prefix transients dominate: six int32
+            # [S0+1, B, Kf] state tensors + the kept full-span aux
+            # history + stop tables, then the phase-2 narrow aux
+            per_pair = ((semi2_s0 + 1) * full_span * 24
+                        + 3 * semi2_s0 * full_span * 4
+                        + full_span * lw * 8
+                        + s_cap * k_win * 8 + k_win * lw * 24)
+        elif engine == "pallas_long":
             mult, blk = (8 if cell16 else 16), 32
+            per_pair = s_cap * k_win * mult + k_win * lw * 24
         elif pallas_likely:
             mult, blk = (7 if cell16 else 13), 128
+            per_pair = s_cap * k_win * mult + k_win * lw * 24
         else:
             mult, blk = 40, 32
-        per_pair = s_cap * k_win * mult + k_win * lw * 24
+            per_pair = s_cap * k_win * mult + k_win * lw * 24
         b_cap = max(4, min(8192, int(cfg.hbm_budget // max(per_pair, 1))))
         if b_cap >= blk:
             b_cap -= b_cap % blk  # keep batches a whole number of blocks

@@ -1,0 +1,277 @@
+"""Two-phase semi-global alignment: full-span prefix + narrow resume.
+
+The reference seeds semi-global wavefronts across EVERY diagonal
+(wfa.go:163-183), and wf-adaptive reduce (wfa.go:461-546) cannot trim
+the band until the best path pulls ``max_dist_diff`` ahead of the field
+— so the first scores genuinely span ~lq+lt diagonals (measured: wide
+rows persist to s≈22 at l=1000/e=0.05, s≈96 at e=0.20), after which the
+live band collapses to tens of diagonals for the rest of the run.  A
+fixed full-span window for the whole run (the previous design) pays the
+wide width for every score; this module splits the run at the collapse:
+
+* **Phase 1 (here)**: the XLA lockstep engine runs scores ``0..S0-1`` at
+  full span — exactly the reference's wide phase — in ``prefix`` mode
+  (engine.EngineConfig.prefix), keeping the full-span aux history for
+  the backtrace.
+* **Export**: per pair, the union of the last ``max(x,o+e)+1`` live
+  bands (everything ``next`` can still read) plus the terminal diagonal
+  picks a narrow window; the live wavefront rows are re-based into it
+  with per-pair binary masked shifts (no gathers — 12 static-shift
+  selects), arranged in the Pallas kernel's circular-slot order.
+* **Phase 2**: the fused kernel resumes at score ``S0`` inside the
+  narrow window (pallas_engine RESUME mode) at full kernel speed.
+* The device backtrace chases through BOTH aux tensors (score >= S0:
+  narrow pairs-on-lanes layout; below: full-span phase-1 layout).
+
+Bit-exactness: phase 1 is the exact engine; the export hands phase 2
+every row ``next``/``reduce``/the end finder can still observe, in the
+reference's own coordinates (diagonals are absolute — only the window
+origin moves).  Pairs whose band union exceeds the narrow window — or
+whose band later grows past it — flag overflow and retry on the wider
+tiers, ending at the exact full-span engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .engine import EngineConfig, _BIG, _run_batch_impl
+
+# meta1 columns exported by the prefix (phase-1) run
+META1_COLS = ("done", "final_s", "term_cell", "end_found", "end_s",
+              "end_k", "end_cell", "overflow2", "k02")
+M1_DONE, M1_FS, M1_TERM, M1_EFOUND, M1_ES, M1_EK, M1_ECELL, M1_OVF, \
+    M1_K02 = range(9)
+
+
+def _rebase_rows(rows: jnp.ndarray, d: jnp.ndarray, K2: int) -> jnp.ndarray:
+    """Per-pair left shift: out[b, j] = rows[b, j + d[b]], 0 <= d < Kf.
+
+    Binary decomposition of the shift into log2(Kf) static-shift selects
+    — the TPU-friendly substitute for a per-row gather (~14 ns/element)
+    or a one-hot matmul (whose [B, Kf, K2] operand would not fit HBM).
+    """
+    B, Kf = rows.shape
+    x = rows
+    b = 0
+    while (1 << b) < Kf:
+        amt = 1 << b
+        shifted = jnp.concatenate(
+            [x[:, amt:], jnp.zeros((B, amt), x.dtype)], axis=1)
+        x = jnp.where((((d >> b) & 1) == 1)[:, None], shifted, x)
+        b += 1
+    return x[:, :K2]
+
+
+def _gather_cell(hist: jnp.ndarray, s: jnp.ndarray, j: jnp.ndarray,
+                 S: int, B: int, K: int) -> jnp.ndarray:
+    """GetRaw at per-pair (s, j) from a [S, B, K] history (one gather)."""
+    bidx = jnp.arange(B, dtype=jnp.int32)
+    ok = (s >= 0) & (s < S) & (j >= 0) & (j < K)
+    flat = hist.reshape(S * B * K)
+    idx = (jnp.clip(s, 0, S - 1) * B + bidx) * K + jnp.clip(j, 0, K - 1)
+    return jnp.where(ok, jnp.take(flat, idx), 0)
+
+
+def prefix_export_impl(
+    qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig, B: int, Lq: int,
+    Ltb: int, S0: int, K2: int,
+):
+    """Run the full-span prefix (scores 0..S0-1) and export the handoff.
+
+    ``cfg`` is the phase-2 engine config shape-wise EXCEPT ``k_win``,
+    which here must be the full span; ``cfg.s_cap`` is the TOTAL score
+    cap (phase 1 + phase 2).  Returns a dict of device tensors (see
+    body) — 'meta1' is the small per-pair summary the host fetches to
+    place the phase-2 target buffers.
+    """
+    from .device_backtrace import end_finder
+
+    p = cfg.penalties
+    WM = max(p.mismatch, p.gap_open + p.gap_ext) + 1
+    WE = p.gap_ext + 1
+    assert S0 >= WM and S0 % 8 == 0
+    Kf = cfg.k_win
+    pcfg = dataclasses.replace(cfg, s_cap=S0 + 1, prefix=True)
+    st = _run_batch_impl(
+        qb, tbuf, qlen, tlen, toff, cfg=pcfg, B=B, Lq=Lq, Ltb=Ltb)
+
+    qlen = qlen.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+    toff = toff.astype(jnp.int32)
+    k0 = -toff
+    Ak = tlen - qlen
+
+    # ---- end scan over the final prefix rows (wfa.go:270-375): rows
+    # 0..S0-1 are final (extended + reduced); done pairs' rows beyond
+    # final_s are zero, so the S0-1 limit is exact for them too
+    lim = jnp.full((B,), S0 - 1, jnp.int32)
+    end_s, end_k, end_found = end_finder(
+        st.hist_m, k0, lim, qlen, tlen, S0 + 1, Kf)
+    end_cell = _gather_cell(st.hist_m, end_s, end_k - k0, S0 + 1, B, Kf)
+    term_cell = _gather_cell(st.hist_m, st.final_s, Ak - k0, S0 + 1, B, Kf)
+
+    # ---- narrow-window choice: union of every band phase 2 can still
+    # read (the last WM M rows / WE I,D rows) plus the terminal diagonal
+    lo_u = jnp.full((B,), _BIG, jnp.int32)
+    hi_u = jnp.full((B,), -_BIG, jnp.int32)
+
+    def fold(lo_c, hi_c, ex_c, srow):
+        nonlocal lo_u, hi_u
+        exs = ex_c[srow]
+        lo_u = jnp.where(exs, jnp.minimum(lo_u, lo_c[srow]), lo_u)
+        hi_u = jnp.where(exs, jnp.maximum(hi_u, hi_c[srow]), hi_u)
+
+    for s in range(S0 - WM + 1, S0 + 1):
+        fold(st.lo_m, st.hi_m, st.ex_m, s)
+    for s in range(S0 - WE + 1, S0 + 1):
+        fold(st.lo_i, st.hi_i, st.ex_i, s)
+        fold(st.lo_d, st.hi_d, st.ex_d, s)
+    win_lo = jnp.minimum(lo_u, Ak)
+    win_hi = jnp.maximum(hi_u, Ak)
+    width = win_hi - win_lo + 1
+    k02 = win_lo - (K2 - width) // 2
+    k02 = jnp.clip(k02, -(qlen - 1),
+                   jnp.maximum(tlen - K2, -(qlen - 1)))
+    # pairs still holding a wide band escape to the wider tiers; done
+    # pairs skip phase 2's loop entirely, so any window placement works
+    overflow2 = st.overflow | ((width > K2) & ~st.done)
+    d = (k02 - k0).astype(jnp.int32)
+
+    def reb(row):
+        return _rebase_rows(row, d, K2)
+
+    # slot-ordered exports: row for circular slot r is the unique score
+    # in (S0-W, S0] congruent to r mod W — the kernel copies them in as
+    # its VMEM window verbatim
+    def slot_rows(hist, lo_c, hi_c, ex_c, W):
+        rows, los, his, exs = [], [], [], []
+        for slot in range(W):
+            srow = S0 - ((S0 - slot) % W)
+            rows.append(reb(hist[srow]))
+            los.append(lo_c[srow])
+            his.append(hi_c[srow])
+            exs.append(ex_c[srow].astype(jnp.int32))
+        return (jnp.stack(rows), jnp.stack(los), jnp.stack(his),
+                jnp.stack(exs))
+
+    win_m, mlo, mhi, mex = slot_rows(st.hist_m, st.lo_m, st.hi_m,
+                                     st.ex_m, WM)
+    win_i, ilo, ihi, iex = slot_rows(st.hist_i, st.lo_i, st.hi_i,
+                                     st.ex_i, WE)
+    win_d, dlo, dhi, dex = slot_rows(st.hist_d, st.lo_d, st.hi_d,
+                                     st.ex_d, WE)
+    ainit = jnp.stack([reb(st.aux_m[S0]), reb(st.aux_i[S0]),
+                       reb(st.aux_d[S0])])
+
+    meta1 = jnp.stack(
+        [st.done.astype(jnp.int32), st.final_s, term_cell,
+         end_found.astype(jnp.int32), end_s, end_k, end_cell,
+         overflow2.astype(jnp.int32), k02], axis=1)
+
+    # full-span aux history for the backtrace (rows 0..S0-1; row S0's
+    # masked version is streamed by phase 2).  offset0 <= tlen+1, so
+    # int16 whenever the target buffer says offsets fit 12 bits.
+    aux_old = jnp.stack([st.aux_m[:S0], st.aux_i[:S0], st.aux_d[:S0]])
+    if Ltb + 2 <= 4095:
+        aux_old = aux_old.astype(jnp.int16)
+
+    return {
+        "win_m": win_m, "win_i": win_i, "win_d": win_d, "ainit": ainit,
+        "b_m": jnp.concatenate([mlo, mhi, mex], axis=0),
+        "b_ie": jnp.concatenate([ilo, ihi, iex, dlo, dhi, dex], axis=0),
+        "meta1": meta1, "aux_old": aux_old,
+    }
+
+
+prefix_export = functools.partial(
+    jax.jit, static_argnames=("cfg", "B", "Lq", "Ltb", "S0", "K2")
+)(prefix_export_impl)
+
+
+def _prefix_export2_impl(
+    seq, lens, *, cfg: EngineConfig, B: int, Lq: int, Ltb: int, S0: int,
+    K2: int, packed: bool,
+):
+    """Combined-upload wrapper (seq = query|target bytes or 2-bit packs,
+    lens = [qlen, tlen, toff]) around :func:`prefix_export_impl`."""
+    from .engine import _unpack2
+
+    qw = Lq // 4 if packed else Lq
+    qb = lax.slice(seq, (0, 0), (B, qw))
+    tbuf = lax.slice(seq, (0, qw), (B, seq.shape[1]))
+    qlen = lens[:, 0]
+    tlen = lens[:, 1]
+    toff = lens[:, 2]
+    if packed:
+        zero = jnp.zeros_like(qlen)
+        qb = _unpack2(qb, Lq, zero, qlen)
+        tbuf = _unpack2(tbuf, Ltb, toff, toff + tlen)
+    return prefix_export_impl(
+        qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb, S0=S0,
+        K2=K2)
+
+
+prefix_export2 = functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "B", "Lq", "Ltb", "S0", "K2", "packed"),
+)(_prefix_export2_impl)
+
+
+def _phase2_impl(
+    seq2, lens2, win_m, win_i, win_d, ainit, b_m, b_ie, meta1, aux_old,
+    *, cfg: EngineConfig, B: int, Lq: int, Ltb_full: int, Ltb2: int,
+    S0: int, packed: bool,
+):
+    """Narrow-window resume + dual-aux backtrace + output packing.
+
+    ``cfg`` is the phase-2 engine config (k_win = the narrow window,
+    s_cap = the TOTAL score cap).  ``seq2`` holds the query and the
+    RE-PLACED target (column c = target position c - toff2; toff2 < 0
+    means the buffer starts at target position -toff2).  ``Ltb_full``
+    (the phase-1 buffer length >= tlen) bounds offsets for the token
+    plan; Ltb2 only bounds buffer columns.
+    """
+    from .engine import _finish_outputs, _unpack2
+    from .pallas_engine import pallas_run_resume
+
+    qw = Lq // 4 if packed else Lq
+    qb = lax.slice(seq2, (0, 0), (B, qw))
+    tb2 = lax.slice(seq2, (0, qw), (B, seq2.shape[1]))
+    qlen = lens2[:, 0]
+    tlen = lens2[:, 1]
+    toff2 = lens2[:, 2]
+    if packed:
+        zero = jnp.zeros_like(qlen)
+        qb = _unpack2(qb, Lq, zero, qlen)
+        tb2 = _unpack2(tb2, Ltb2, jnp.maximum(toff2, 0), toff2 + tlen)
+
+    final_s, done, overflow, start, aux2, Bp = pallas_run_resume(
+        qb, tb2, qlen, tlen, toff2, win_m, win_i, win_d, ainit, b_m, b_ie,
+        meta1, cfg=cfg, B=B, Lq=Lq, Ltb2=Ltb2, Ltb_full=Ltb_full, S0=S0,
+        interpret=jax.default_backend() == "cpu",
+    )
+    start_s, start_k, start_cell = start
+    k02 = -toff2.astype(jnp.int32)
+    k0_old = -(qlen.astype(jnp.int32) - 1)  # phase-1 full-span origin
+    return _finish_outputs(
+        aux2, start_cell, k02, start_s, start_k,
+        qlen.astype(jnp.int32), tlen.astype(jnp.int32), done, overflow,
+        cfg=cfg, Lq=Lq, Ltb=Ltb_full, b_stride=Bp, pairs_on_lanes=True,
+        aux_old=aux_old, k0_old=k0_old, s_split=S0,
+    )
+
+
+phase2 = functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "B", "Lq", "Ltb_full", "Ltb2", "S0",
+                     "packed"),
+)(_phase2_impl)
