@@ -174,3 +174,110 @@ def test_mesh_padding_raw_token_path():
     for (q, t), res in zip(pairs, eng.align_batch(pairs)):
         ref = oracle.align(q, t)
         assert res.score == ref.score and res.cigar(False) == ref.cigar(False)
+
+
+@pytest.mark.skipif(
+    jax.device_count() < 4, reason="needs 4 (virtual) devices"
+)
+def test_pallas_engine_under_shard_map():
+    """The production TPU-pod path — the fused Pallas kernel INSIDE
+    shard_map (engine='pallas' + mesh) — bit-exact vs the oracle
+    (VERDICT r2 item 3; interpret mode on the CPU mesh)."""
+    from wfa_tpu import (AdaptiveReductionOption, Options, OracleAligner,
+                         Penalties)
+    from wfa_tpu.datagen import generate_pairs
+    from wfa_tpu.engine import BatchAligner
+    from wfa_tpu.parallel import make_dp_mesh
+
+    pen = Penalties(4, 6, 2)
+    ada = AdaptiveReductionOption(10, 50, 1)
+    eng = BatchAligner(pen, Options(True), ada, k_win=128, s_cap=128,
+                       engine="pallas", mesh=make_dp_mesh(4))
+    oracle = OracleAligner(pen, Options(True), ada)
+    pairs = generate_pairs(12, 60, 0.12, seed=21)  # 12 -> padded to 4x
+    results = eng.align_batch(pairs, fallback=False)
+    for (q, t), res in zip(pairs, results):
+        assert res is not None
+        ref = oracle.align(q, t)
+        assert res.score == ref.score, (q, t)
+        assert res.cigar(False) == ref.cigar(False), (q, t)
+        assert (res.align_len, res.matches, res.gaps) == (
+            ref.align_len, ref.matches, ref.gaps)
+
+
+_MULTIHOST_WORKER = r"""
+import os, sys, pickle
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=sys.argv[1],
+    num_processes=2,
+    process_id=int(sys.argv[2]),
+)
+assert jax.process_count() == 2, jax.process_count()
+from wfa_tpu import AdaptiveReductionOption, Options, Penalties
+from wfa_tpu.datagen import generate_pairs
+from wfa_tpu.pipeline import AlignmentPipeline, PipelineConfig
+
+cfg = PipelineConfig(
+    penalties=Penalties(4, 6, 2), options=Options(True),
+    adaptive=AdaptiveReductionOption(10, 50, 1), batch_size=8)
+pipe = AlignmentPipeline(cfg)
+assert pipe._mesh is not None and pipe._mesh.devices.size == jax.device_count()
+pairs = generate_pairs(12, 50, 0.1, seed=33)
+results = pipe.align_all(pairs)
+digest = [(r.score, r.cigar(False), r.align_len, r.matches) for r in results]
+print("DIGEST:" + repr(digest))
+"""
+
+
+@pytest.mark.slow
+def test_multihost_two_process_cpu():
+    """Real multi-process execution: two jax.distributed processes on a
+    CPU mesh run the full pipeline (global jax.Arrays via
+    make_array_from_callback, engine.py) and must agree with the
+    single-process oracle (VERDICT r2 item 4; SURVEY §4's prescribed
+    multi-host CPU-mesh fake)."""
+    import socket
+    import subprocess
+    import sys
+
+    from wfa_tpu import (AdaptiveReductionOption, Options, OracleAligner,
+                         Penalties)
+    from wfa_tpu.datagen import generate_pairs
+
+    with socket.socket() as s:  # pick a free port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    import os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _MULTIHOST_WORKER, coord, str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            text=True)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(out)
+    digests = []
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("DIGEST:")]
+        assert line, out
+        digests.append(eval(line[0][len("DIGEST:"):]))
+    assert digests[0] == digests[1], "processes disagree"
+    oracle = OracleAligner(Penalties(4, 6, 2), Options(True),
+                           AdaptiveReductionOption(10, 50, 1))
+    pairs = generate_pairs(12, 50, 0.1, seed=33)
+    expect = [
+        (r.score, r.cigar(False), r.align_len, r.matches)
+        for r in (oracle.align(q, t) for q, t in pairs)
+    ]
+    assert digests[0] == expect

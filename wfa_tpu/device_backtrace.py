@@ -215,6 +215,7 @@ def device_backtrace(
     token_shift: int = 28, b_stride: int = 0,
     pairs_on_lanes: bool = False,
     aux_old=None, k0_old=None, s_split: int = 0,
+    old_pairs_on_lanes: bool = False,
 ):
     """Exact device port of the backtrace loop (wfa.go:703-983).
 
@@ -259,10 +260,16 @@ def device_backtrace(
     code_tab = jnp.asarray(_TAG2CODE)
     if aux_old is not None:
         # two-phase handoff (wfa_tpu.semi2): scores below s_split read
-        # the phase-1 full-span aux (standard [3, s_split, B, Kf]
-        # layout with its own window origin k0_old)
-        S_old, Kf = aux_old.shape[1], aux_old.shape[3]
-        flat_old = aux_old.reshape(3 * S_old * B, Kf)
+        # the phase-1 full-span aux — standard [3, S_old, B, Kf] layout
+        # (XLA prefix) or pairs-on-lanes [3, S_old, Kf, Bp] (kernel
+        # prefix), each with its own window origin k0_old
+        S_old = aux_old.shape[1]
+        if old_pairs_on_lanes:
+            Kf, Bso = aux_old.shape[2], aux_old.shape[3]
+            flat_old = aux_old.reshape(3 * S_old * Kf, Bso)
+        else:
+            Kf = aux_old.shape[3]
+            flat_old = aux_old.reshape(3 * S_old * B, Kf)
 
     def read_aux(s, comp, k):
         """One-cell aux gather at (s[B], comp[B], k[B]): returns
@@ -280,8 +287,12 @@ def device_backtrace(
             ok_o = (s >= 0) & (s < s_split) & (j_o >= 0) & (j_o < Kf)
             sc_o = jnp.clip(s, 0, S_old - 1)
             jc_o = jnp.clip(j_o, 0, Kf - 1)
-            cell_o = flat_old[(comp * S_old + sc_o) * B + bidx,
-                              jc_o].astype(jnp.int32)
+            if old_pairs_on_lanes:
+                cell_o = flat_old[(comp * S_old + sc_o) * Kf + jc_o,
+                                  bidx].astype(jnp.int32)
+            else:
+                cell_o = flat_old[(comp * S_old + sc_o) * B + bidx,
+                                  jc_o].astype(jnp.int32)
             use_old = s < s_split
             cell = jnp.where(use_old, cell_o, cell)
             ok = jnp.where(use_old, ok_o, ok)

@@ -118,6 +118,13 @@ class EngineConfig:
     # phase of the two-phase semi-global path (wfa_tpu.semi2), which
     # hands the collapsed live band off to the narrow-window kernel
     prefix: bool = False
+    # v-space stop tables of this width (engine._stop_tables_v): the
+    # extension lookup indexes query progress v instead of the buffer
+    # column.  For the full-span semi-global prefix the live lookups
+    # cluster in v (every diagonal's progress is small) where a c-space
+    # window mass-outruns on the seed row; runs reaching the table edge
+    # flag overflow.  None = c-space tables (the default).
+    v_win: Optional[int] = None
 
 
 def window_origin(qlen: int, tlen: int, k_win: int, global_alignment: bool) -> int:
@@ -198,6 +205,66 @@ def _stop_tables(qb, tbuf, qlen, tlen, toff, K: int, Lq: int, Ltb: int):
         _BIG,
     )
     # fsa[w] = min over w' > w of wpos[w']  (reverse suffix min, exclusive)
+    suff = lax.cummin(wpos, axis=2, reverse=True)
+    fsa = jnp.concatenate([suff[..., 1:], jnp.full_like(suff[..., :1], _BIG)],
+                          axis=-1)
+    return words, fsa
+
+
+def _stop_tables_v(qb, tbuf, qlen, tlen, toff, K: int, Lq: int, Ltb: int,
+                   VW: int):
+    """V-space stop tables for the full-span semi-global prefix.
+
+    ``stopv[b, j, v]`` = stop bit for *query position* v on window
+    diagonal j (buffer column c = v + j, since the fixed origin makes
+    h + toff = v + j).  During the wide prefix every diagonal's progress
+    v stays below a few hundred even though the columns c span the whole
+    buffer — so per-step lookups cluster tightly in v-space and the
+    kernel's anchored window works where a c-space window would outrun
+    on the very first seed row.  Extensions whose first stop lies beyond
+    VW flag overflow (retry on the exact full-span tiers).
+
+    Same packed-word + first-stop-after outputs as :func:`_stop_tables`,
+    with the word axis indexing v instead of c.
+    """
+    B = qb.shape[0]
+    Lvw = VW // 32
+    assert VW % 64 == 0 and VW <= Lq
+
+    # t_sh[b, j, v] = tbuf[b, v + j] by log2(K) concat-and-shift
+    # doublings.  Invariant: R[b, r, v] = tpad[b, v + r].
+    Lp = K + VW
+    tpad = jnp.zeros((B, 1, Lp), jnp.uint8)
+    tb_in = tbuf if Ltb <= Lp else lax.slice(tbuf, (0, 0), (B, Lp))
+    tpad = lax.dynamic_update_slice(tpad, tb_in[:, None, :], (0, 0, 0))
+    R = tpad
+    d = 1
+    while d < K:
+        shifted = jnp.pad(R, ((0, 0), (0, 0), (0, d)))[:, :, d:]
+        R = jnp.concatenate([R, shifted], axis=1)
+        d *= 2
+    t_sh = lax.slice(R, (0, 0, 0), (B, K, VW))  # [B, K, VW]
+
+    vs = jnp.arange(VW, dtype=jnp.int32)[None, None, :]
+    js = jnp.arange(K, dtype=jnp.int32)[None, :, None]
+    cs = vs + js
+    valid = (
+        (vs < qlen[:, None, None])
+        & (cs >= toff[:, None, None])
+        & (cs < (toff + tlen)[:, None, None])
+    )
+    qv = lax.slice(qb, (0, 0), (B, VW))[:, None, :]
+    stop = ~(valid & (qv == t_sh))  # [B, K, VW] bool
+
+    bits = stop.reshape(B, K, Lvw, 32).astype(jnp.int32)
+    weights = (jnp.int32(1) << (31 - jnp.arange(32, dtype=jnp.int32)))
+    words = jnp.sum(bits * weights[None, None, None, :], axis=-1)
+    wclz = lax.clz(words)
+    wpos = jnp.where(
+        words != 0,
+        jnp.arange(Lvw, dtype=jnp.int32)[None, None, :] * 32 + wclz,
+        _BIG,
+    )
     suff = lax.cummin(wpos, axis=2, reverse=True)
     fsa = jnp.concatenate([suff[..., 1:], jnp.full_like(suff[..., :1], _BIG)],
                           axis=-1)
@@ -343,7 +410,35 @@ def _run_batch_impl(
     tlen = tlen.astype(jnp.int32)
     toff = toff.astype(jnp.int32)
     k0 = -toff  # [B] fixed window origin
-    stop_words, stop_fsa = _stop_tables(qb, tbuf, qlen, tlen, toff, K, Lq, Ltb)
+    VW = 0
+    sw = None
+    if cfg.v_win:
+        # v-space table over the whole query, then a one-time word-axis
+        # shear by max(0, toff - j) per row: every cell's lookup lands
+        # near its progress-along-the-diagonal u (first-ROW seeds have
+        # small v, first-COLUMN seeds small h — after the shear both
+        # cluster), so the small anchored read window below covers every
+        # live cell of the full-span prefix
+        VW = Lq
+        stop_words, stop_fsa = _stop_tables_v(
+            qb, tbuf, qlen, tlen, toff, K, Lq, Ltb, VW)
+        iota_k = jnp.arange(K, dtype=jnp.int32)[None, :]
+        sw = jnp.maximum(0, toff[:, None] - iota_k) >> 5  # [B, K] words
+        for bit in range(max(1, (Lq >> 5)).bit_length()):
+            amt = 1 << bit
+            if amt > (Lq >> 5):
+                break
+            shifted_w = jnp.pad(
+                stop_words, ((0, 0), (0, 0), (0, amt)))[:, :, amt:]
+            shifted_f = jnp.pad(
+                stop_fsa, ((0, 0), (0, 0), (0, amt)),
+                constant_values=int(_BIG))[:, :, amt:]
+            m = (((sw >> bit) & 1) == 1)[:, :, None]
+            stop_words = jnp.where(m, shifted_w, stop_words)
+            stop_fsa = jnp.where(m, shifted_f, stop_fsa)
+    else:
+        stop_words, stop_fsa = _stop_tables(
+            qb, tbuf, qlen, tlen, toff, K, Lq, Ltb)
     Lw = stop_words.shape[-1]
     iw = jnp.arange(Lw, dtype=jnp.int32)[None, None, :]
     qi = qb.astype(jnp.int32)
@@ -460,7 +555,13 @@ def _run_batch_impl(
 
         # LCP via the precomputed stop tables: one masked pass over the
         # word axis — no gathers, no data-dependent loop (wfa.go:411-454).
-        c0 = h0 + toff[:, None]  # [B, K] column of the next compare
+        # v-space tables index by v0, through the per-row word shear
+        # (c0 = sheared lookup position, c_abs = absolute v for run math)
+        if VW:
+            c_abs = v0
+            c0 = v0 - (sw << 5)
+        else:
+            c0 = c_abs = h0 + toff[:, None]  # [B, K] lookup position
         w0f = jnp.clip(c0 >> 5, 0, Lw - 1)
         w0 = w0f[..., None]
         overflow = st.overflow
@@ -485,8 +586,19 @@ def _run_batch_impl(
             overflow = overflow | outrun_now
             act0 = act0 & ~outrun
         vis = word0 << (c0 & 31)  # bit of c0 now at bit 31
-        n_ext = jnp.where(vis != 0, lax.clz(vis), fsa0 - c0)
+        n_ext = jnp.where(vis != 0, lax.clz(vis), fsa0 - c_abs)
         n_ext = jnp.where(act0, n_ext, 0)
+        if VW:
+            # a first stop at/past the v-table edge is unrepresentable
+            # (the true stop may lie further) — escape those pairs; the
+            # retries are exact.  Only qlen == VW pairs can hit this in
+            # practice (the v == qlen stop is then out of table).
+            bad = act0 & (c_abs + n_ext >= VW)
+            bad_any = jnp.any(bad, axis=1)
+            outrun_now = outrun_now | bad_any
+            overflow = overflow | bad_any
+            act0 = act0 & ~bad
+            n_ext = jnp.where(act0, n_ext, 0)
         row_m = jnp.where(act0 & (n_ext > 0), cell + (n_ext << TYPE_BITS), cell)
         hist_m = _set_row(st.hist_m, s, row_m)
 
@@ -932,6 +1044,7 @@ def _finish_outputs(
     aux, start_cell, k0, start_s, start_k, qlen, tlen, done, overflow, *,
     cfg: EngineConfig, Lq: int, Ltb: int, b_stride: int,
     pairs_on_lanes: bool, aux_old=None, k0_old=None, s_split: int = 0,
+    old_pairs_on_lanes: bool = False,
 ):
     """Device backtrace + stats + token compaction + meta packing —
     shared by the single-phase paths and the two-phase semi-global
@@ -950,6 +1063,7 @@ def _finish_outputs(
         S=S, K=K, token_shift=token_shift, b_stride=b_stride,
         pairs_on_lanes=pairs_on_lanes,
         aux_old=aux_old, k0_old=k0_old, s_split=s_split,
+        old_pairs_on_lanes=old_pairs_on_lanes,
     )
     align_len, matches, gaps, gap_regions = device_stats(
         tok0, buf, tail, token_shift)
@@ -1285,12 +1399,27 @@ class BatchAligner:
         lens = np.stack([qlen, tlen, toff], axis=1).astype(np.int32)
         full_span = int((qlen + tlen).max()) + 1
         Kf = ((full_span + 127) // 128) * 128
-        # full-table stop reads: the full-span seed rows have live cells
-        # at every column, so an anchored read window would mass-outrun
-        pcfg = dataclasses.replace(self.cfg, k_win=Kf, w_win=None)
+        # phase-1 stop reads must be v-space: the full-span seed rows
+        # have live cells at every buffer column, so an anchored c-space
+        # read window would mass-outrun, and reading the full c-table
+        # every step costs ~1 GB/step.  The XLA prefix with a v-anchored
+        # 8-word window is the default; the wide kernel's EXPORT mode is
+        # bit-exact too but its Mosaic compile at K~2048 takes tens of
+        # minutes per process (opt-in for long-lived servers).
+        import os
+
+        from .pallas_engine import supports_prefix
+
+        use_kernel = (os.environ.get("WFA_SEMI2_KERNEL_PREFIX") == "1"
+                      and supports_prefix(self.cfg))
+        pcfg = dataclasses.replace(
+            self.cfg, k_win=Kf,
+            w_win=None if use_kernel else 8,
+            v_win=None if use_kernel else Lq)
         exports = prefix_export2(
             jnp.asarray(seq), jnp.asarray(lens), cfg=pcfg, B=B, Lq=Lq,
-            Ltb=Ltb, S0=self.s_switch, K2=self.cfg.k_win, packed=packed)
+            Ltb=Ltb, S0=self.s_switch, K2=self.cfg.k_win, packed=packed,
+            use_kernel=use_kernel)
         # the only mid-point host sync: the per-pair window origins
         m1 = np.asarray(exports["meta1"])
         k02 = m1[:, M1_K02].astype(np.int32)
@@ -1322,7 +1451,7 @@ class BatchAligner:
             exports["ainit"], exports["b_m"], exports["b_ie"],
             exports["meta1"], exports["aux_old"],
             cfg=self.cfg, B=B, Lq=Lq, Ltb_full=Ltb, Ltb2=Ltb2,
-            S0=self.s_switch, packed=packed2)
+            S0=self.s_switch, packed=packed2, old_lanes=use_kernel)
         return self._queue_fetch(pairs, out)
 
     @staticmethod

@@ -95,14 +95,23 @@ def _iota(shape, dim):
 def _kernel(
     *refs,
     S, K, Lw2, WV, BB, CH, X, OE, E, GLOBAL, REDUCE_ON, MIN_WF_LEN,
-    MAX_DIST_DIFF, CELL16, RESUME=None,
+    MAX_DIST_DIFF, CELL16, RESUME=None, VSPACE=False, EXPORT=False,
 ):
     # RESUME=S0 runs the loop from score S0 with imported state (the
     # two-phase semi-global handoff, wfa_tpu.semi2) instead of seeding;
-    # the in/out ref list differs between the two modes, hence *refs
-    if RESUME is None:
+    # EXPORT stops at score S-1 and dumps the VMEM windows/bands (the
+    # phase-1 side of the same handoff); VSPACE indexes the stop tables
+    # by query progress v instead of buffer column (engine._stop_tables_v
+    # — the full-span prefix's lookups only cluster in v-space).  The
+    # in/out ref list differs between the modes, hence *refs.
+    state_ref = None
+    if RESUME is None and not EXPORT:
         (params_ref, whi_ref, wlo_ref, fsa_ref, seed0_ref, seedx_ref,
          out_ref, aux_ref, *scr) = refs
+        minit_ref = iinit_ref = dinit_ref = ainit_ref = binit_ref = None
+    elif EXPORT:
+        (params_ref, whi_ref, wlo_ref, fsa_ref, seed0_ref, seedx_ref,
+         out_ref, aux_ref, state_ref, *scr) = refs
         minit_ref = iinit_ref = dinit_ref = ainit_ref = binit_ref = None
     else:
         (params_ref, whi_ref, wlo_ref, fsa_ref, minit_ref, iinit_ref,
@@ -487,7 +496,9 @@ def _kernel(
         v0 = off - ks
         act0 = valid & (v0 > 0) & (v0 < qlen) & (h0 < tlen)
         outrun_now = jnp.zeros((1, BB), jnp.int32)
-        c0 = h0 + toff
+        # VSPACE: the table word axis indexes query progress v, not the
+        # buffer column (the full-span prefix's lookups cluster in v)
+        c0 = v0 if VSPACE else h0 + toff
         w2 = jnp.clip(c0 >> 6, 0, Lw2 - 1)
         WF = 8  # fast-path word-group window (VMEM-resident tables)
         if not STREAM and Lw2 <= WF:
@@ -571,6 +582,19 @@ def _kernel(
             jnp.where(vis_lo != 0, 32 + lax.clz(vis_lo), fsa0 - c0),
         )
         n_ext = jnp.where(act0, n_ext, 0)
+        if VSPACE:
+            # when the v-table truncates the query (qlen >= vwt), a run
+            # whose lookup or first stop falls past the edge may truly
+            # extend further — escape those pairs (exact retries).  A
+            # table covering the whole query always holds a stop (v >=
+            # qlen positions are stops), so nothing can outrun it.
+            vwt = Lw2 * 64
+            trunc = qlen >= vwt
+            bad_ext = act0 & trunc & ((c0 >= vwt) | (c0 + n_ext >= vwt))
+            outrun_now = jnp.where(sany(bad_ext), 1, outrun_now)
+            overflow = jnp.where(outrun_now > 0, 1, overflow)
+            act0 = act0 & ~bad_ext
+            n_ext = jnp.where(act0, n_ext, 0)
         row_m = jnp.where(act0 & (n_ext > 0), cell + (n_ext << TYPE_BITS),
                           cell)
 
@@ -752,6 +776,36 @@ def _kernel(
         hist_dma(1, ob_i, nchunks - 2).wait()
         hist_dma(2, ob_d, nchunks - 2).wait()
 
+    if EXPORT:
+        # phase-1 export: still-running pairs continue in phase 2 (no
+        # overflow marking, raw end-finder state), and the VMEM windows
+        # + band slots dump to state_ref for the XLA-side rebase
+        res = jnp.concatenate(
+            [final_s, done, overflow, end_found,
+             term_cell, end_s, end_k, end_cell], axis=0)
+        out_ref[:] = res
+        o = 0
+        state_ref[o:o + WM * K] = m_win[...]
+        o += WM * K
+        state_ref[o:o + WE * K] = i_win[...]
+        o += WE * K
+        state_ref[o:o + WE * K] = d_win[...]
+        o += WE * K
+        # aux rows for score S-1 (written at step S-2 into slot (S-1)%2)
+        sae = (S - 1) % 2
+        state_ref[o:o + K] = am_win[sae * K:(sae + 1) * K]
+        o += K
+        state_ref[o:o + K] = ai_win[sae * K:(sae + 1) * K]
+        o += K
+        state_ref[o:o + K] = ad_win[sae * K:(sae + 1) * K]
+        o += K
+        for r in (mb_lo, mb_hi, mb_ex):
+            state_ref[o:o + WM] = r[...]
+            o += WM
+        for r in (ib_lo, ib_hi, ib_ex, db_lo, db_hi, db_ex):
+            state_ref[o:o + WE] = r[...]
+            o += WE
+        return
     overflow = jnp.where(done == 0, 1, overflow)
     # the reference's end finder falls back to (termination score, Ak)
     # when no last-row/col cell exists (wfa.go:280-282 init values)
@@ -956,6 +1010,185 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     # aux stays padded to the block multiple — slicing would copy GBs;
     # the backtrace takes the padded lane stride instead
     return final_s, done, overflow, term_cell, aux, Bp, end
+
+
+def supports_prefix(cfg: EngineConfig) -> bool:
+    """Penalty gates for the wide prefix-export kernel (the K<=512 perf
+    gate does not apply: the prefix runs a few dozen steps, where even a
+    tile-inefficient wide kernel beats the XLA engine ~10x)."""
+    p = cfg.penalties
+    wm = max(p.mismatch, p.gap_open + p.gap_ext) + 1
+    return wm <= 64 and p.gap_ext + 1 <= 64
+
+
+def pallas_run_prefix(
+    qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig, B: int, Lq: int,
+    Ltb: int, VW: int, interpret: bool = False,
+):
+    """Run the full-span semi-global prefix (scores 0..s_cap-2) on the
+    wide kernel and export the handoff state (EXPORT mode).
+
+    Stop tables are v-space (engine._stop_tables_v): during the wide
+    prefix every diagonal's progress clusters below VW, where a c-space
+    window would outrun on the seed row.  Returns
+    (out [8, B], aux [3, Sa, K, Bp] pairs-on-lanes with rows 0..s_cap-2
+    valid, state [TOT, Bp], Bp) — out rows are final_s, done, overflow,
+    end_found, term_cell, end_s, end_k, end_cell.
+    """
+    from .engine import _seed_rows, _stop_tables_v
+
+    p = cfg.penalties
+    S, K = cfg.s_cap, cfg.k_win
+    assert supports_prefix(cfg) and not cfg.global_alignment
+
+    qlen = qlen.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+    toff = toff.astype(jnp.int32)
+    k0 = -toff
+    Ak = tlen - qlen
+
+    overflow0 = (
+        (Ak < k0) | (Ak >= k0 + K) | (0 < k0) | (0 >= k0 + K)
+        | ((tlen - 1) >= k0 + K)
+    )
+
+    words, fsa = _stop_tables_v(qb, tbuf, qlen, tlen, toff, K, Lq, Ltb, VW)
+    Lw = words.shape[-1]
+    if Lw % 2:
+        words = jnp.pad(words, ((0, 0), (0, 0), (0, 1)))
+        fsa = jnp.pad(fsa, ((0, 0), (0, 0), (0, 1)),
+                      constant_values=int(_BIG))
+    whi = jnp.transpose(words[..., 0::2], (2, 1, 0))
+    wlo = jnp.transpose(words[..., 1::2], (2, 1, 0))
+    fsa64 = jnp.transpose(fsa[..., 1::2], (2, 1, 0))
+    Lw2 = whi.shape[0]
+    whi = whi.reshape(Lw2 * K, B)
+    wlo = wlo.reshape(Lw2 * K, B)
+    fsa64 = fsa64.reshape(Lw2 * K, B)
+
+    (row0, lo0, hi0, ex0), (rowx, lox, hix, exx) = _seed_rows(
+        qb, tbuf, qlen, tlen, toff,
+        mismatch=int(p.mismatch), global_alignment=False,
+        K=K, Lq=Lq, Ltb=Ltb)
+    if p.mismatch >= S:
+        overflow0 = overflow0 | exx
+    row0 = row0.T
+    rowx = rowx.T
+
+    params = jnp.stack(
+        [qlen, tlen, toff, Ak - k0, overflow0.astype(jnp.int32),
+         lo0, hi0, ex0.astype(jnp.int32),
+         lox, hix, exx.astype(jnp.int32), Ak]
+        + [jnp.zeros_like(qlen)] * (_NP - 12), axis=0)
+
+    bb = B_BLK
+    if interpret:
+        while bb > 8 and B <= bb // 2:
+            bb //= 2
+    Bp = ((B + bb - 1) // bb) * bb
+    if Bp != B:
+        pad = Bp - B
+
+        def pad_lanes(a, ovf_row=None):
+            fill = jnp.tile(a[:, :1], (1, pad))
+            if ovf_row is not None:
+                fill = fill.at[ovf_row].set(1)
+            return jnp.concatenate([a, fill], axis=1)
+
+        params = pad_lanes(params, ovf_row=4)
+        whi = pad_lanes(whi)
+        wlo = pad_lanes(wlo)
+        fsa64 = pad_lanes(fsa64)
+        row0 = jnp.concatenate([row0, jnp.zeros((K, pad), jnp.int32)], 1)
+        rowx = jnp.concatenate([rowx, jnp.zeros((K, pad), jnp.int32)], 1)
+
+    WM = max(p.mismatch, p.gap_open + p.gap_ext) + 1
+    WE = p.gap_ext + 1
+    ch = CH if K <= 256 else (4 if K <= 512 else 2)
+    Sa = ((S + ch - 1) // ch) * ch  # aux rows padded to whole DMA chunks
+    budget_wv = max(4, (12 << 20) // (3 * bb * K * 4))
+    WV = min(8, budget_wv)
+    stream = Lw2 > WV
+    cell16 = Ltb + 2 <= 4095
+    cell_dtype = jnp.int16 if cell16 else jnp.int32
+    TOT = (WM + 2 * WE + 3) * K + 3 * WM + 6 * WE
+    kern = functools.partial(
+        _kernel, S=S, K=K, Lw2=Lw2, WV=WV, BB=bb, CH=ch,
+        X=int(p.mismatch), OE=int(p.gap_open + p.gap_ext),
+        E=int(p.gap_ext),
+        GLOBAL=False,
+        REDUCE_ON=cfg.adaptive is not None,
+        MIN_WF_LEN=int(cfg.adaptive.min_wf_len) if cfg.adaptive else 0,
+        MAX_DIST_DIFF=int(cfg.adaptive.max_dist_diff) if cfg.adaptive else 0,
+        CELL16=cell16,
+        VSPACE=True, EXPORT=True,
+    )
+    if stream:
+        table_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+    else:
+        table_specs = [
+            pl.BlockSpec((Lw2 * K, bb), lambda b: (0, b),
+                         memory_space=pltpu.VMEM)
+        ] * 3
+    twv = WV if stream else 1
+
+    nblk = Bp // bb
+    out, aux, state = pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((_NP, bb), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ] + table_specs + [
+            pl.BlockSpec((K, bb), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bb), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, bb), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((TOT, bb), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((3, Sa, K, Bp), cell_dtype),
+            jax.ShapeDtypeStruct((TOT, Bp), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((WM * K, bb), jnp.int32),
+            pltpu.VMEM((WE * K, bb), jnp.int32),
+            pltpu.VMEM((WE * K, bb), jnp.int32),
+            pltpu.VMEM((2 * K, bb), jnp.int32),
+            pltpu.VMEM((2 * K, bb), jnp.int32),
+            pltpu.VMEM((2 * K, bb), jnp.int32),
+            pltpu.VMEM((WM, bb), jnp.int32),
+            pltpu.VMEM((WM, bb), jnp.int32),
+            pltpu.VMEM((WM, bb), jnp.int32),
+            pltpu.VMEM((WE, bb), jnp.int32),
+            pltpu.VMEM((WE, bb), jnp.int32),
+            pltpu.VMEM((WE, bb), jnp.int32),
+            pltpu.VMEM((WE, bb), jnp.int32),
+            pltpu.VMEM((WE, bb), jnp.int32),
+            pltpu.VMEM((WE, bb), jnp.int32),
+            pltpu.VMEM((2, ch, K, bb), cell_dtype),
+            pltpu.VMEM((2, ch, K, bb), cell_dtype),
+            pltpu.VMEM((2, ch, K, bb), cell_dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((twv * K, bb), jnp.int32),
+            pltpu.VMEM((twv * K, bb), jnp.int32),
+            pltpu.VMEM((twv * K, bb), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 << 20,
+        ),
+        interpret=interpret,
+    )(params, whi, wlo, fsa64, row0, rowx)
+    return out, aux, state, Bp
 
 
 def pallas_run_resume(

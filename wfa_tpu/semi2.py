@@ -197,12 +197,134 @@ prefix_export = functools.partial(
 )(prefix_export_impl)
 
 
+def _rebase_rows_lanes(rows: jnp.ndarray, d: jnp.ndarray,
+                       K2: int) -> jnp.ndarray:
+    """Pairs-on-lanes variant of :func:`_rebase_rows`:
+    out[j, b] = rows[j + d[b], b] — static sublane shifts + lane masks."""
+    Kf, Bp = rows.shape
+    x = rows
+    b = 0
+    while (1 << b) < Kf:
+        amt = 1 << b
+        shifted = jnp.concatenate(
+            [x[amt:], jnp.zeros((amt, Bp), x.dtype)], axis=0)
+        x = jnp.where((((d >> b) & 1) == 1)[None, :], shifted, x)
+        b += 1
+    return x[:K2]
+
+
+def prefix_export_kernel_impl(
+    qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig, B: int, Lq: int,
+    Ltb: int, S0: int, K2: int,
+):
+    """Kernel-backed phase 1: the wide Pallas kernel runs the full-span
+    prefix (EXPORT mode, v-space stop tables) ~10x faster than the XLA
+    engine, with its fused end finder replacing the post-hoc scan.
+
+    Same export dict as :func:`prefix_export_impl`, except ``aux_old``
+    is pairs-on-lanes ([3, Sa, Kf, Bp] — phase 2 must pass
+    ``old_lanes=True``)."""
+    from .pallas_engine import pallas_run_prefix
+
+    p = cfg.penalties
+    WM = max(p.mismatch, p.gap_open + p.gap_ext) + 1
+    WE = p.gap_ext + 1
+    assert S0 >= WM
+    Kf = cfg.k_win
+    kcfg = dataclasses.replace(cfg, s_cap=S0 + 1)
+    VW = max(128, min(1024, Lq))
+    out, aux_old, state, Bp = pallas_run_prefix(
+        qb, tbuf, qlen, tlen, toff, cfg=kcfg, B=B, Lq=Lq, Ltb=Ltb, VW=VW,
+        interpret=jax.default_backend() == "cpu")
+
+    qlen = qlen.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+    toff = toff.astype(jnp.int32)
+    k0 = -toff
+    Ak = tlen - qlen
+    final_s, done_i, ovf_i = out[0, :B], out[1, :B], out[2, :B]
+    end_found, term_cell = out[3, :B], out[4, :B]
+    end_s, end_k, end_cell = out[5, :B], out[6, :B], out[7, :B]
+    done = done_i > 0
+
+    # parse the state dump (kernel VMEM windows + band slots)
+    o = 0
+    m_rows = state[o:o + WM * Kf]
+    o += WM * Kf
+    i_rows = state[o:o + WE * Kf]
+    o += WE * Kf
+    d_rows = state[o:o + WE * Kf]
+    o += WE * Kf
+    a_rows = state[o:o + 3 * Kf]
+    o += 3 * Kf
+    mlo = state[o:o + WM]
+    mhi = state[o + WM:o + 2 * WM]
+    mex = state[o + 2 * WM:o + 3 * WM]
+    o += 3 * WM
+    ilo = state[o:o + WE]
+    ihi = state[o + WE:o + 2 * WE]
+    iex = state[o + 2 * WE:o + 3 * WE]
+    o += 3 * WE
+    dlo = state[o:o + WE]
+    dhi = state[o + WE:o + 2 * WE]
+    dex = state[o + 2 * WE:o + 3 * WE]
+
+    # narrow-window choice (same math as the XLA exporter)
+    lo_u = jnp.full((Bp,), _BIG, jnp.int32)
+    hi_u = jnp.full((Bp,), -_BIG, jnp.int32)
+    for lo_r, hi_r, ex_r, W in ((mlo, mhi, mex, WM), (ilo, ihi, iex, WE),
+                                (dlo, dhi, dex, WE)):
+        for r in range(W):
+            exs = ex_r[r] > 0
+            lo_u = jnp.where(exs, jnp.minimum(lo_u, lo_r[r]), lo_u)
+            hi_u = jnp.where(exs, jnp.maximum(hi_u, hi_r[r]), hi_u)
+    lo_u = lo_u[:B]
+    hi_u = hi_u[:B]
+    win_lo = jnp.minimum(lo_u, Ak)
+    win_hi = jnp.maximum(hi_u, Ak)
+    width = win_hi - win_lo + 1
+    k02 = win_lo - (K2 - width) // 2
+    k02 = jnp.clip(k02, -(qlen - 1),
+                   jnp.maximum(tlen - K2, -(qlen - 1)))
+    overflow2 = (ovf_i > 0) | ((width > K2) & ~done)
+    d = k02 - k0
+    dp = jnp.concatenate(
+        [d, jnp.zeros((Bp - B,), jnp.int32)]) if Bp != B else d
+
+    def reb(rows):  # [Kf, Bp] -> [B, K2]
+        return _rebase_rows_lanes(rows, dp, K2)[:, :B].T
+
+    win_m = jnp.stack([reb(m_rows[r * Kf:(r + 1) * Kf])
+                       for r in range(WM)])
+    win_i = jnp.stack([reb(i_rows[r * Kf:(r + 1) * Kf])
+                       for r in range(WE)])
+    win_d = jnp.stack([reb(d_rows[r * Kf:(r + 1) * Kf])
+                       for r in range(WE)])
+    ainit = jnp.stack([reb(a_rows[r * Kf:(r + 1) * Kf])
+                       for r in range(3)])
+
+    meta1 = jnp.stack(
+        [done.astype(jnp.int32), final_s, term_cell, end_found,
+         end_s, end_k, end_cell, overflow2.astype(jnp.int32), k02],
+        axis=1)
+    bB = lambda r: r[:, :B]
+    return {
+        "win_m": win_m, "win_i": win_i, "win_d": win_d, "ainit": ainit,
+        "b_m": jnp.concatenate([bB(mlo), bB(mhi), bB(mex)], axis=0),
+        "b_ie": jnp.concatenate(
+            [bB(ilo), bB(ihi), bB(iex), bB(dlo), bB(dhi), bB(dex)],
+            axis=0),
+        "meta1": meta1, "aux_old": aux_old,
+    }
+
+
 def _prefix_export2_impl(
     seq, lens, *, cfg: EngineConfig, B: int, Lq: int, Ltb: int, S0: int,
-    K2: int, packed: bool,
+    K2: int, packed: bool, use_kernel: bool = False,
 ):
     """Combined-upload wrapper (seq = query|target bytes or 2-bit packs,
-    lens = [qlen, tlen, toff]) around :func:`prefix_export_impl`."""
+    lens = [qlen, tlen, toff]) around the phase-1 exporters — the wide
+    kernel (use_kernel, ~10x faster) or the XLA engine."""
     from .engine import _unpack2
 
     qw = Lq // 4 if packed else Lq
@@ -215,21 +337,23 @@ def _prefix_export2_impl(
         zero = jnp.zeros_like(qlen)
         qb = _unpack2(qb, Lq, zero, qlen)
         tbuf = _unpack2(tbuf, Ltb, toff, toff + tlen)
-    return prefix_export_impl(
+    impl = prefix_export_kernel_impl if use_kernel else prefix_export_impl
+    return impl(
         qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb, S0=S0,
         K2=K2)
 
 
 prefix_export2 = functools.partial(
     jax.jit,
-    static_argnames=("cfg", "B", "Lq", "Ltb", "S0", "K2", "packed"),
+    static_argnames=("cfg", "B", "Lq", "Ltb", "S0", "K2", "packed",
+                     "use_kernel"),
 )(_prefix_export2_impl)
 
 
 def _phase2_impl(
     seq2, lens2, win_m, win_i, win_d, ainit, b_m, b_ie, meta1, aux_old,
     *, cfg: EngineConfig, B: int, Lq: int, Ltb_full: int, Ltb2: int,
-    S0: int, packed: bool,
+    S0: int, packed: bool, old_lanes: bool = False,
 ):
     """Narrow-window resume + dual-aux backtrace + output packing.
 
@@ -267,11 +391,12 @@ def _phase2_impl(
         qlen.astype(jnp.int32), tlen.astype(jnp.int32), done, overflow,
         cfg=cfg, Lq=Lq, Ltb=Ltb_full, b_stride=Bp, pairs_on_lanes=True,
         aux_old=aux_old, k0_old=k0_old, s_split=S0,
+        old_pairs_on_lanes=old_lanes,
     )
 
 
 phase2 = functools.partial(
     jax.jit,
     static_argnames=("cfg", "B", "Lq", "Ltb_full", "Ltb2", "S0",
-                     "packed"),
+                     "packed", "old_lanes"),
 )(_phase2_impl)
