@@ -1412,9 +1412,12 @@ class BatchAligner:
 
         use_kernel = (os.environ.get("WFA_SEMI2_KERNEL_PREFIX") == "1"
                       and supports_prefix(self.cfg))
+        # v-shear table + FULL-table reads: measured fastest XLA prefix
+        # (322 ms vs 368 c-space vs 594 anchored-window at B=944 l=1k —
+        # the per-step dynamic-slice of a window costs more than reading
+        # the smaller sheared table whole)
         pcfg = dataclasses.replace(
-            self.cfg, k_win=Kf,
-            w_win=None if use_kernel else 8,
+            self.cfg, k_win=Kf, w_win=None,
             v_win=None if use_kernel else Lq)
         exports = prefix_export2(
             jnp.asarray(seq), jnp.asarray(lens), cfg=pcfg, B=B, Lq=Lq,

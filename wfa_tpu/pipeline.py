@@ -84,9 +84,12 @@ class AlignmentPipeline:
             # rising error rates, and the exact full-span engine remains
             # the final tier
             if (cfg.adaptive is not None and full_span > 512
-                    and self._mesh is None and tier <= 1):
-                semi2_s0 = (48, 176)[tier]  # e<=0.05 / e<=0.2 collapse
-                k_win = (256, 512)[tier]
+                    and self._mesh is None and tier <= 2):
+                # prefix-length ladder: each tier's prefix must outlast
+                # the measured band collapse for its error regime; the
+                # escape probe keeps doomed tiers cheap
+                semi2_s0 = (48, 112, 200)[tier]
+                k_win = (256, 512, 512)[tier]
             else:
                 k_win = full_span  # exact final tier (and -a / mesh runs)
         elif cfg.adaptive is not None:
@@ -257,7 +260,8 @@ class AlignmentPipeline:
         # device_get waits, which is where nearly all the wall time is).
         pending = {key: items for key, items in buckets.items()}
         pool = self._drain_pool()
-        for tier in (0, 1, 2):
+        prev_caps = {}  # bucket -> previous tier's caps (skip repeats)
+        for tier in (0, 1, 2, 3):
             if self._device_errors >= 2:
                 break  # device unhealthy — finish on the host oracle
             # inflight items: (bucket_key, chunk, out) with out either a
@@ -273,12 +277,22 @@ class AlignmentPipeline:
                 # and with it every score cap and memory bound)
                 lq_max = max(len(p[0]) for _, p in items)
                 lt_max = max(len(p[1]) for _, p in items)
-                k_win, s_cap, w_win, b_cap, engine, serial = (
-                    self._tier_caps(lq_max, lt_max, tier))
+                caps = self._tier_caps(lq_max, lt_max, tier)
+                if (prev_caps.get((lq_c, lt_c)) == caps
+                        and self._device_errors == 0):
+                    # the ladder has nothing wider for this bucket (the
+                    # global ladder tops out a tier early) — retrying
+                    # identical caps cannot succeed, go to the fallback.
+                    # (A device FAULT, by contrast, is retryable at the
+                    # same caps — hence the fault-free gate.)
+                    inflight.append(((lq_c, lt_c), items, [None] * len(items)))
+                    continue
+                prev_caps[(lq_c, lt_c)] = caps
+                k_win, s_cap, w_win, b_cap, engine, serial = caps
                 eng = self._engine(k_win, s_cap, w_win, engine)
                 bs = min(self.cfg.batch_size, b_cap)
                 n_chunks = (len(items) + bs - 1) // bs
-                probe = tier < 2 and n_chunks > 1
+                probe = tier < 3 and n_chunks > 1
                 # the probe (does this tier's cap ladder fit the
                 # workload at all?) drains ASYNCHRONOUSLY: a few more
                 # chunks submit while it computes, so the common all-good
