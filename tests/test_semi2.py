@@ -130,3 +130,90 @@ def test_pipeline_probe_skips_doomed_tier():
     # chunk probe_at=3 submits) reports >=90% overflow -> chunks 4,5
     # never submit.  Without the skip there would be >= 12 submits.
     assert len(calls) <= 10, calls
+
+
+def test_prefix_kernel_matches_xla_exporter():
+    """The wide kernel's EXPORT-mode phase 1 (v-space tables, fused end
+    finder) must export byte-identical handoff state to the XLA prefix
+    exporter (interpret mode; the env-gated fast path's correctness)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from wfa_tpu.engine import BatchAligner
+    from wfa_tpu.semi2 import prefix_export_impl, prefix_export_kernel_impl
+
+    eng = BatchAligner(PEN, SEMI, ADA, k_win=256, s_cap=256,
+                       engine="semi2:40")
+    pairs = generate_pairs(4, 200, 0.08, seed=7)
+    qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = eng._pack_all(pairs)
+    Kf = ((int((qlen + tlen).max()) + 1 + 127) // 128) * 128
+    args = tuple(jnp.asarray(a) for a in (qb, tbuf, qlen, tlen, toff))
+    cfg_x = dataclasses.replace(eng.cfg, k_win=Kf, w_win=None, v_win=Lq)
+    ex_x = prefix_export_impl(*args, cfg=cfg_x, B=4, Lq=Lq, Ltb=Ltb,
+                              S0=40, K2=256)
+    cfg_k = dataclasses.replace(eng.cfg, k_win=Kf, w_win=None)
+    ex_k = prefix_export_kernel_impl(*args, cfg=cfg_k, B=4, Lq=Lq,
+                                     Ltb=Ltb, S0=40, K2=256)
+    mx = np.asarray(ex_x["meta1"])
+    mk = np.asarray(ex_k["meta1"])
+    # pairs done inside the prefix skip phase 2 entirely: their band
+    # slots/windows/k02 are don't-cares (the kernel freezes stale slots,
+    # the XLA engine empty rows).  end_* only matter when end_found.
+    live = (mx[:, 0] == 0) & (mx[:, 7] == 0)
+    assert live.sum() >= 2, "test workload too easy"
+
+    def canon_meta(m):
+        m = m.copy()
+        nf = m[:, 3] == 0
+        m[nf, 4:7] = 0
+        m[m[:, 0] == 0, 2] = 0  # term_cell defined only when done
+        m[~live, 8] = 0
+        return m
+
+    np.testing.assert_array_equal(canon_meta(mx), canon_meta(mk),
+                                  err_msg="meta1")
+    for key in ("b_m", "b_ie", "win_m", "win_i", "win_d", "ainit"):
+        ax, ak_ = np.asarray(ex_x[key]), np.asarray(ex_k[key])
+        # axis 1 is the pair axis in every export tensor
+        np.testing.assert_array_equal(ax[:, live], ak_[:, live],
+                                      err_msg=key)
+
+
+def test_semi2_kernel_prefix_end_to_end(monkeypatch):
+    """Full two-phase path with the kernel prefix enabled
+    (WFA_SEMI2_KERNEL_PREFIX=1): bit-exact vs the oracle."""
+    from wfa_tpu.engine import BatchAligner
+
+    monkeypatch.setenv("WFA_SEMI2_KERNEL_PREFIX", "1")
+    eng = BatchAligner(PEN, SEMI, ADA, k_win=256, s_cap=256,
+                       engine="semi2:40")
+    oracle = OracleAligner(PEN, SEMI, ADA)
+    pairs = generate_pairs(6, 200, 0.05, seed=5)
+    results = eng.align_batch(pairs, fallback=False)
+    assert _check(pairs, results, oracle, allow_none=True) >= 5
+
+
+def test_engine_vwin_matches_cspace():
+    """The sheared v-space stop tables are an exact drop-in for the
+    c-space tables (full-table reads, semi-global full span)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from wfa_tpu.engine import BatchAligner, _run_batch_impl
+
+    eng = BatchAligner(PEN, SEMI, ADA, k_win=128, s_cap=128)
+    pairs = generate_pairs(4, 60, 0.15, seed=13)
+    qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = eng._pack_all(pairs)
+    args = tuple(jnp.asarray(a) for a in (qb, tbuf, qlen, tlen, toff))
+    cfg_c = dataclasses.replace(eng.cfg, w_win=None)
+    cfg_v = dataclasses.replace(eng.cfg, w_win=None, v_win=Lq)
+    st_c = _run_batch_impl(*args, cfg=cfg_c, B=4, Lq=Lq, Ltb=Ltb)
+    st_v = _run_batch_impl(*args, cfg=cfg_v, B=4, Lq=Lq, Ltb=Ltb)
+    np.testing.assert_array_equal(np.asarray(st_c.final_s),
+                                  np.asarray(st_v.final_s))
+    np.testing.assert_array_equal(np.asarray(st_c.hist_m),
+                                  np.asarray(st_v.hist_m))
+    np.testing.assert_array_equal(np.asarray(st_c.aux_m),
+                                  np.asarray(st_v.aux_m))
