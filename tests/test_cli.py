@@ -182,7 +182,7 @@ def test_pipeline_survives_device_faults(monkeypatch):
     calls = {"n": 0}
     orig = BatchAligner.submit_batch
 
-    def dying_submit(self, pairs):
+    def dying_submit(self, pairs, *a, **k):
         calls["n"] += 1
         raise RuntimeError("TPU worker process crashed or restarted")
 

@@ -115,9 +115,9 @@ def test_pipeline_probe_skips_doomed_tier():
     calls = []
     orig = BatchAligner.submit_batch
 
-    def counting(self, batch):
+    def counting(self, batch, *a, **k):
         calls.append(len(batch))
-        return orig(self, batch)
+        return orig(self, batch, *a, **k)
 
     BatchAligner.submit_batch = counting
     try:

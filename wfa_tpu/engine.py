@@ -1293,12 +1293,16 @@ class BatchAligner:
 
         return self.finish_batch(self.submit_batch(pairs), fallback)
 
-    def submit_batch(self, pairs: Sequence[Tuple[bytes, bytes]]):
+    def submit_batch(self, pairs: Sequence[Tuple[bytes, bytes]],
+                     prepacked=None):
         """Enqueue a batch on the device without blocking.
 
         Returns an opaque handle for :meth:`finish_batch`.  Submitting
         many batches before finishing any hides the host↔device dispatch
         latency (the results stay on device until fetched).
+        ``prepacked`` (from :meth:`_pack_all` on the same pairs) lets a
+        pipeline pack on one thread while another uploads (single-device
+        engines only — mesh submits pad the batch before packing).
         """
         pairs = list(pairs)
         if self.mesh is not None:
@@ -1312,9 +1316,12 @@ class BatchAligner:
         B = len(pairs_padded)
         engine = self.engine
         if engine == "semi2":
-            return self._submit_semi2(pairs)
-        qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = self._pack_all(
-            pairs_padded)
+            return self._submit_semi2(pairs, prepacked)
+        if prepacked is not None and self.mesh is None:
+            qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = prepacked
+        else:
+            qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = self._pack_all(
+                pairs_padded)
         if engine == "pallas":
             from .pallas_engine import supports
 
@@ -1384,7 +1391,7 @@ class BatchAligner:
             spec.copy_to_host_async()
         return pairs, out, spec
 
-    def _submit_semi2(self, pairs):
+    def _submit_semi2(self, pairs, prepacked=None):
         """Two-phase semi-global submit (wfa_tpu.semi2): full-span
         prefix -> fetch per-pair windows -> re-place targets -> narrow
         kernel resume.  Returns the standard finish_small handle."""
@@ -1392,7 +1399,11 @@ class BatchAligner:
         from .semi2 import M1_K02, phase2, prefix_export2
 
         B = len(pairs)
-        qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = self._pack_all(pairs)
+        if prepacked is not None:
+            qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = prepacked
+        else:
+            qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = self._pack_all(
+                pairs)
         packed = tp is not None
         seq = np.concatenate([qp if packed else qb, tp if packed else tbuf],
                              axis=1)

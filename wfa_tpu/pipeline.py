@@ -328,12 +328,16 @@ class AlignmentPipeline:
                                 n_bad = sum(r is None for r in out)
                                 skip_rest = n_bad * 10 >= len(out) * 9
                             continue
-                        # pack+upload+dispatch on the submit worker so
-                        # consecutive batches' (blocking) uploads overlap
-                        # the main thread's orchestration and the drain
-                        # workers' downloads
+                        # pack on the MAIN thread (the native packer
+                        # releases the GIL) so it overlaps the submit
+                        # worker's blocking upload of the PREVIOUS
+                        # batch; upload+dispatch then run on the
+                        # ordered submit worker
+                        chunk_pairs = [p for _, p in chunk]
+                        pre = (eng._pack_all(chunk_pairs)
+                               if eng.mesh is None else None)
                         sub = self._submit_pool().submit(
-                            eng.submit_batch, [p for _, p in chunk])
+                            eng.submit_batch, chunk_pairs, pre)
                         submit_futs.append(sub)
                         fut = pool.submit(self._drain_from, eng, sub)
                         inflight.append(((lq_c, lt_c), chunk, fut))
