@@ -38,7 +38,11 @@ def _run(pipe, n, length, err, reps=3):
     assert len(results) == n and all(r is not None for r in results)
     # best-of-N: host<->device tunnel bandwidth swings by large factors
     # on an hours scale (external interference, not workload variance),
-    # so min is the faithful estimator of the pipeline's throughput
+    # so min is the faithful estimator of the pipeline's throughput on
+    # directly-attached hardware; all reps are printed for transparency
+    if len(times) > 1:
+        print(f"# reps: {[round(t, 3) for t in times]} s (best-of-"
+              f"{len(times)} reported)", file=sys.stderr)
     elapsed = min(times)
     return n / elapsed, elapsed, results[0]
 

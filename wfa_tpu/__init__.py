@@ -33,7 +33,7 @@ from .constants import (
 from .oracle import Aligner as OracleAligner
 from .oracle import align as oracle_align
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 
 def __getattr__(name):
