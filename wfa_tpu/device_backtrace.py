@@ -215,7 +215,7 @@ def device_backtrace(
     token_shift: int = 28, b_stride: int = 0,
     pairs_on_lanes: bool = False,
     aux_old=None, k0_old=None, s_split: int = 0,
-    old_pairs_on_lanes: bool = False,
+    old_pairs_on_lanes: bool = False, aux_base=None,
 ):
     """Exact device port of the backtrace loop (wfa.go:703-983).
 
@@ -258,6 +258,11 @@ def device_backtrace(
         flat = aux.reshape(3 * Sn * Bs, K)
     bidx = jnp.arange(B, dtype=jnp.int32)
     code_tab = jnp.asarray(_TAG2CODE)
+    if aux_base is not None:
+        # value-rebased aux (the long-read kernel): stored offsets are
+        # (offset0 - base[s,b] + 1); aux_base is [Bp, S]-laid-out
+        S_base = aux_base.shape[1]
+        base_flat = aux_base.reshape(aux_base.shape[0] * S_base)
     if aux_old is not None:
         # two-phase handoff (wfa_tpu.semi2): scores below s_split read
         # the phase-1 full-span aux — standard [3, S_old, B, Kf] layout
@@ -298,7 +303,13 @@ def device_backtrace(
             ok = jnp.where(use_old, ok_o, ok)
         found = ok & (cell > 0)
         cell = jnp.where(found, cell, 0)
-        return cell >> TYPE_BITS, cell & ((1 << TYPE_BITS) - 1), found
+        off = cell >> TYPE_BITS
+        if aux_base is not None:
+            bs = jnp.take(
+                base_flat,
+                bidx * S_base + jnp.clip(s, 0, S_base - 1))
+            off = jnp.where(found, off - 1 + bs, 0)
+        return off, cell & ((1 << TYPE_BITS) - 1), found
 
     # ---- start point (wfa.go:738-750); existence deliberately unchecked.
     raw = start_cell

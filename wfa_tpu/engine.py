@@ -998,17 +998,24 @@ def _align_full_impl(
         else:  # the kernel's fused end finder (wfa.go:270-375)
             start_s, start_k, start_cell = end
     elif engine == "pallas_long":
-        # pairs-on-sublanes long-read kernel: 8-pair block minimum keeps
-        # the aux history inside HBM at l=50k+ (see pallas_longread)
+        # pairs-on-sublanes long-read kernel: small blocks keep the aux
+        # history inside HBM at l=50k+; its aux streams value-rebased
+        # int16 cells plus a per-row base vector (see pallas_longread)
         from .pallas_longread import pallas_run_batch as run_long
 
-        final_s, done, overflow, start_cell, aux, b_stride = run_long(
-            qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb,
-            interpret=jax.default_backend() == "cpu",
-        )
+        final_s, done, overflow, start_cell, aux, b_stride, aux_base = (
+            run_long(
+                qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb,
+                interpret=jax.default_backend() == "cpu",
+            ))
         qlen = qlen.astype(jnp.int32)
         tlen = tlen.astype(jnp.int32)
         start_s, start_k = final_s, tlen - qlen  # global-only kernel
+        return _finish_outputs(
+            aux, start_cell, -toff.astype(jnp.int32), start_s, start_k,
+            qlen, tlen, done, overflow, cfg=cfg, Lq=Lq, Ltb=Ltb,
+            b_stride=b_stride, pairs_on_lanes=False, aux_base=aux_base,
+        )
     else:
         st = _run_batch_impl(
             qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb
@@ -1044,7 +1051,7 @@ def _finish_outputs(
     aux, start_cell, k0, start_s, start_k, qlen, tlen, done, overflow, *,
     cfg: EngineConfig, Lq: int, Ltb: int, b_stride: int,
     pairs_on_lanes: bool, aux_old=None, k0_old=None, s_split: int = 0,
-    old_pairs_on_lanes: bool = False,
+    old_pairs_on_lanes: bool = False, aux_base=None,
 ):
     """Device backtrace + stats + token compaction + meta packing —
     shared by the single-phase paths and the two-phase semi-global
@@ -1063,7 +1070,7 @@ def _finish_outputs(
         S=S, K=K, token_shift=token_shift, b_stride=b_stride,
         pairs_on_lanes=pairs_on_lanes,
         aux_old=aux_old, k0_old=k0_old, s_split=s_split,
-        old_pairs_on_lanes=old_pairs_on_lanes,
+        old_pairs_on_lanes=old_pairs_on_lanes, aux_base=aux_base,
     )
     align_len, matches, gaps, gap_regions = device_stats(
         tok0, buf, tail, token_shift)
@@ -1139,6 +1146,9 @@ class BatchAligner:
         w_win: Optional[int] = None,
         mesh=None,
     ) -> None:
+        if adaptive is not None and adaptive.min_wf_len == 0:
+            # constructor-path twin of the attach check (wfa.go:134-137)
+            raise ValueError("cutoff step should not be 0")
         self.cfg = EngineConfig(
             penalties=penalties,
             global_alignment=options.global_alignment,

@@ -63,7 +63,8 @@ from .engine import EngineConfig, _seed_rows, _stop_tables
 
 _BIG = np.int32(1 << 30)
 
-B_BLK = 32  # pairs per kernel block (sublane tiles)
+B_BLK = 64  # pairs per kernel block (sublane tiles); int16 rebased aux
+# halves the per-block HBM footprint that used to cap this at 32
 CH = 8  # history scores per output DMA chunk
 _NP = 16  # packed per-pair parameter columns
 
@@ -96,13 +97,21 @@ def _iota(shape, dim):
 
 def _kernel(
     params_ref, whi_ref, wlo_ref, fsa_ref, seed0_ref, seedx_ref,
-    out_ref, aux_ref,
+    out_ref, aux_ref, base_ref,
     m_win, i_win, d_win, am_win, ai_win, ad_win,
-    ob_m, ob_i, ob_d, sem, twhi, twlo, tfsa, tsem,
+    ob_m, ob_i, ob_d, sem, twhi, twlo, tfsa, tsem, sb,
     *, S, K, Lw2, WV, BB, X, OE, E, GLOBAL, REDUCE_ON, MIN_WF_LEN,
-    MAX_DIST_DIFF, CELL16,
+    MAX_DIST_DIFF,
 ):
-    cell_dtype = jnp.int16 if CELL16 else jnp.int32
+    # Aux cells stream VALUE-REBASED: per (pair, score) the minimum live
+    # pre-extension offset is subtracted (stored +1 so a stored 0 keeps
+    # meaning absent and a true offset0 == 0 survives as exactly 1-base),
+    # and the per-row bases ride the [S, BB] base_ref output.  Offsets
+    # within one row spread by at most the band width + max_dist_diff —
+    # far below 12 bits — so the history is int16 at ANY read length
+    # (absolute offsets at l=50k+ need 17 bits), halving the dominant
+    # DMA stream and the HBM footprint that caps the block size.
+    cell_dtype = jnp.int16
     STREAM = Lw2 > WV  # stop tables stay in HBM; a WV-group window
     # slides through VMEM as the block's offsets advance
     WM = max(X, OE) + 1
@@ -596,23 +605,41 @@ def _kernel(
 
         m_win[pl.ds(slot_s, 1)] = row_m[None]
 
-        # ---- stream backtrace-aux row s to HBM ----
+        # ---- stream backtrace-aux row s to HBM (value-rebased) ----
         # aux row values were final at creation (aux = pre-extension
         # offsets); masking by the current cell row applies this
-        # iteration's reduce/co-delete deletions
+        # iteration's reduce/co-delete deletions.  The per-row minimum
+        # live offset0 is subtracted (+1 so absent stays 0 and a true
+        # offset0 of exactly `base` stays nonzero) and recorded in
+        # base_ref — the backtrace adds it back.
         och = lax.rem(s, CH)
         oslot = lax.rem(c, 2)
         wrote = live0
         slot_sa = lax.rem(s, 2)
-        am = am_win[pl.ds(slot_sa, 1)][0]
-        ai = ai_win[pl.ds(slot_sa, 1)][0]
-        ad = ad_win[pl.ds(slot_sa, 1)][0]
-        ob_m[pl.ds(oslot, 1), pl.ds(och, 1)] = jnp.where(
-            wrote & (row_m != 0), am, 0).astype(cell_dtype)[None, None]
-        ob_i[pl.ds(oslot, 1), pl.ds(och, 1)] = jnp.where(
-            wrote & (row_i != 0), ai, 0).astype(cell_dtype)[None, None]
-        ob_d[pl.ds(oslot, 1), pl.ds(och, 1)] = jnp.where(
-            wrote & (row_d != 0), ad, 0).astype(cell_dtype)[None, None]
+        am0 = jnp.where(wrote & (row_m != 0), am_win[pl.ds(slot_sa, 1)][0], 0)
+        ai0 = jnp.where(wrote & (row_i != 0), ai_win[pl.ds(slot_sa, 1)][0], 0)
+        ad0 = jnp.where(wrote & (row_d != 0), ad_win[pl.ds(slot_sa, 1)][0], 0)
+
+        def vmin(a):
+            v = a >> TYPE_BITS
+            return jnp.min(jnp.where(a > 0, v, _BIG), axis=1, keepdims=True)
+
+        base = jnp.minimum(jnp.minimum(vmin(am0), vmin(ai0)), vmin(ad0))
+        base = jnp.maximum(jnp.where(base >= _BIG, 0, base), 0)
+        # accumulate [S, BB] (dynamic-row writes are cheap; the blocked
+        # [BB, S] output is filled by one transpose at exit)
+        sb[pl.ds(s, 1)] = base.reshape(1, BB)
+
+        def reb(a):
+            v = (a >> TYPE_BITS) - base + 1
+            return jnp.where(a > 0, (v << TYPE_BITS) | (a & 7), 0)
+
+        ob_m[pl.ds(oslot, 1), pl.ds(och, 1)] = reb(am0).astype(
+            cell_dtype)[None, None]
+        ob_i[pl.ds(oslot, 1), pl.ds(och, 1)] = reb(ai0).astype(
+            cell_dtype)[None, None]
+        ob_d[pl.ds(oslot, 1), pl.ds(och, 1)] = reb(ad0).astype(
+            cell_dtype)[None, None]
 
         @pl.when(lax.rem(s, CH) == CH - 1)
         def _():
@@ -665,6 +692,7 @@ def _kernel(
         [final_s, done, overflow, jnp.broadcast_to(s_exit, (BB, 1)),
          term_cell] + [z1] * 3, axis=1)
     out_ref[:] = res
+    base_ref[...] = sb[...].T  # [S, BB] accumulator -> [BB, S] output
 
 
 def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
@@ -727,7 +755,7 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     # the same regardless of sublane occupancy, so block padding is nearly
     # free); shrink only when a block's aux plane would strain HBM
     bb = B_BLK
-    while bb > 8 and S * K * bb * 12 > (6 << 30):
+    while bb > 8 and S * K * bb * 6 > (6 << 30):
         bb //= 2
     # pad the batch to a block multiple (padding rows are overflow)
     Bp = ((B + bb - 1) // bb) * bb
@@ -744,18 +772,18 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
 
     WM = max(p.mismatch, p.gap_open + p.gap_ext) + 1
     WE = p.gap_ext + 1
-    # block size: 32 pairs amortizes per-op cost; shrink for small or
-    # memory-heavy batches so block padding stops wasting work
-    while bb > 8 and (B <= bb // 2 or S * K * bb * 12 > (3 << 30)):
+    # shrink for small or memory-heavy batches so block padding stops
+    # wasting work (6 B/cell: 3 int16 aux planes)
+    while bb > 8 and (B <= bb // 2 or S * K * bb * 6 > (3 << 30)):
         bb //= 2
     if wv <= 0:  # table window sized to a ~7MB VMEM budget
         wv = min(64, max(16, (7 << 20) // (3 * bb * K * 4)))
     WV = wv
     stream = Lw2 > WV
-    # 16-bit aux cells when offsets fit 13 bits shrink the dominant
-    # history DMA stream and HBM footprint by half
-    cell16 = Ltb <= 4095
-    cell_dtype = jnp.int16 if cell16 else jnp.int32
+    # aux cells are ALWAYS int16: values stream rebased against the
+    # per-row minimum live offset (base_out carries the bases), and one
+    # row's offsets spread at most band-width + max_dist_diff
+    cell_dtype = jnp.int16
     kern = functools.partial(
         _kernel, S=S, K=K, Lw2=Lw2, WV=WV, BB=bb,
         X=int(p.mismatch), OE=int(p.gap_open + p.gap_ext),
@@ -764,7 +792,6 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         REDUCE_ON=cfg.adaptive is not None,
         MIN_WF_LEN=int(cfg.adaptive.min_wf_len) if cfg.adaptive else 0,
         MAX_DIST_DIFF=int(cfg.adaptive.max_dist_diff) if cfg.adaptive else 0,
-        CELL16=cell16,
     )
     if stream:
         table_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
@@ -776,7 +803,7 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     twv = WV if stream else 1
 
     nblk = Bp // bb
-    out, aux = pl.pallas_call(
+    out, aux, aux_base = pl.pallas_call(
         kern,
         grid=(nblk,),
         in_specs=[
@@ -792,10 +819,13 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
             pl.BlockSpec((bb, 8), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((bb, S), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, 8), jnp.int32),
             jax.ShapeDtypeStruct((3, S, Bp, K), cell_dtype),
+            jax.ShapeDtypeStruct((Bp, S), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((WM, bb, K), jnp.int32),
@@ -812,6 +842,7 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
             pltpu.VMEM((bb, twv * K), jnp.int32),
             pltpu.VMEM((bb, twv * K), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((S, bb), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -823,4 +854,4 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     term_cell = out[:B, 4]
     # aux stays padded to the block multiple — slicing would copy GBs;
     # the backtrace takes the padded batch stride instead
-    return final_s, done, overflow, term_cell, aux, Bp
+    return final_s, done, overflow, term_cell, aux, Bp, aux_base

@@ -181,7 +181,8 @@ class AlignmentPipeline:
                         + full_span * lw * 8
                         + s_cap * k_win * 8 + k_win * lw * 24)
         elif engine == "pallas_long":
-            mult, blk = (8 if cell16 else 16), 32
+            # value-rebased int16 aux at any length (pallas_longread)
+            mult, blk = 8, 32
             per_pair = s_cap * k_win * mult + k_win * lw * 24
         elif pallas_likely:
             mult, blk = (7 if cell16 else 13), 128
