@@ -119,7 +119,9 @@ def _kernel(
         seed0_ref = seedx_ref = None
     (m_win, i_win, d_win, am_win, ai_win, ad_win,
      mb_lo, mb_hi, mb_ex, ib_lo, ib_hi, ib_ex, db_lo, db_hi, db_ex,
-     ob_m, ob_i, ob_d, sem, twhi, twlo, tfsa, tsem) = scr
+     ob_m, ob_i, ob_d, sem, twhi, twlo, tfsa, tsem, *scr_extra) = scr
+    st_sem = scr_extra[0] if scr_extra else None
+    bscr = scr_extra[1] if len(scr_extra) > 1 else None
     S0 = RESUME or 0
     C0 = S0 // CH  # aux_ref rows cover scores S0..S-1 (offset C0 chunks)
     cell_dtype = jnp.int16 if CELL16 else jnp.int32
@@ -148,6 +150,11 @@ def _kernel(
     k0 = -toff  # [1, BB]
     row_k = _iota((K, BB), 0)
     ks = k0 + row_k  # [K, BB] diagonal of each row
+    if VSPACE:
+        # per-row 64-bit-group shear applied to the tables at build time
+        # (pallas_run_prefix): lookups subtract it so every cell indexes
+        # near its diagonal progress
+        sg6 = jnp.maximum(0, toff - row_k) >> 6  # [K, BB] groups
 
     if RESUME is None:
         # ---- init windows & band slots (seeding, wfa.go:143-184) ----
@@ -496,9 +503,13 @@ def _kernel(
         v0 = off - ks
         act0 = valid & (v0 > 0) & (v0 < qlen) & (h0 < tlen)
         outrun_now = jnp.zeros((1, BB), jnp.int32)
-        # VSPACE: the table word axis indexes query progress v, not the
-        # buffer column (the full-span prefix's lookups cluster in v)
-        c0 = v0 if VSPACE else h0 + toff
+        # VSPACE: the table indexes query progress v through the per-row
+        # shear (c0 = sheared lookup, c_abs = absolute v for run math)
+        if VSPACE:
+            c_abs = v0
+            c0 = v0 - (sg6 << 6)
+        else:
+            c0 = c_abs = h0 + toff
         w2 = jnp.clip(c0 >> 6, 0, Lw2 - 1)
         WF = 8  # fast-path word-group window (VMEM-resident tables)
         if not STREAM and Lw2 <= WF:
@@ -579,18 +590,17 @@ def _kernel(
         n_ext = jnp.where(
             vis_hi != 0,
             lax.clz(vis_hi),
-            jnp.where(vis_lo != 0, 32 + lax.clz(vis_lo), fsa0 - c0),
+            jnp.where(vis_lo != 0, 32 + lax.clz(vis_lo), fsa0 - c_abs),
         )
         n_ext = jnp.where(act0, n_ext, 0)
         if VSPACE:
-            # when the v-table truncates the query (qlen >= vwt), a run
-            # whose lookup or first stop falls past the edge may truly
-            # extend further — escape those pairs (exact retries).  A
-            # table covering the whole query always holds a stop (v >=
-            # qlen positions are stops), so nothing can outrun it.
+            # a first stop at/past the v-table edge is unrepresentable
+            # (the true stop may lie further; sheared-away top groups
+            # read as stop-free with fsa=BIG) — escape those pairs (the
+            # retries are exact).  Only qlen == VW pairs hit this in
+            # practice: the v == qlen stop is then out of table.
             vwt = Lw2 * 64
-            trunc = qlen >= vwt
-            bad_ext = act0 & trunc & ((c0 >= vwt) | (c0 + n_ext >= vwt))
+            bad_ext = act0 & (c_abs + n_ext >= vwt)
             outrun_now = jnp.where(sany(bad_ext), 1, outrun_now)
             overflow = jnp.where(outrun_now > 0, 1, overflow)
             act0 = act0 & ~bad_ext
@@ -779,32 +789,41 @@ def _kernel(
     if EXPORT:
         # phase-1 export: still-running pairs continue in phase 2 (no
         # overflow marking, raw end-finder state), and the VMEM windows
-        # + band slots dump to state_ref for the XLA-side rebase
+        # + band slots DMA to the HBM state_ref for the XLA-side rebase
+        # (a VMEM state block would double-buffer ~38MB past the cap)
         res = jnp.concatenate(
             [final_s, done, overflow, end_found,
              term_cell, end_s, end_k, end_cell], axis=0)
         out_ref[:] = res
+        sae = (S - 1) % 2  # aux rows for score S-1
+        # bands stage through one 8-aligned scratch (DMA row counts must
+        # be multiples of 8; WM=9/WE=3 rows are not)
         o = 0
-        state_ref[o:o + WM * K] = m_win[...]
-        o += WM * K
-        state_ref[o:o + WE * K] = i_win[...]
-        o += WE * K
-        state_ref[o:o + WE * K] = d_win[...]
-        o += WE * K
-        # aux rows for score S-1 (written at step S-2 into slot (S-1)%2)
-        sae = (S - 1) % 2
-        state_ref[o:o + K] = am_win[sae * K:(sae + 1) * K]
-        o += K
-        state_ref[o:o + K] = ai_win[sae * K:(sae + 1) * K]
-        o += K
-        state_ref[o:o + K] = ad_win[sae * K:(sae + 1) * K]
-        o += K
-        for r in (mb_lo, mb_hi, mb_ex):
-            state_ref[o:o + WM] = r[...]
-            o += WM
-        for r in (ib_lo, ib_hi, ib_ex, db_lo, db_hi, db_ex):
-            state_ref[o:o + WE] = r[...]
-            o += WE
+        for r, n in ((mb_lo, WM), (mb_hi, WM), (mb_ex, WM),
+                     (ib_lo, WE), (ib_hi, WE), (ib_ex, WE),
+                     (db_lo, WE), (db_hi, WE), (db_ex, WE)):
+            bscr[o:o + n] = r[...]
+            o += n
+        NBP = bscr.shape[0]
+        srcs = [
+            (m_win, WM * K), (i_win, WE * K), (d_win, WE * K),
+            (am_win.at[pl.ds(sae * K, K)], K),
+            (ai_win.at[pl.ds(sae * K, K)], K),
+            (ad_win.at[pl.ds(sae * K, K)], K),
+            (bscr, NBP),
+        ]
+        o = 0
+        dmas = []
+        for i, (src, n) in enumerate(srcs):
+            d = pltpu.make_async_copy(
+                src,
+                state_ref.at[pl.ds(o, n), pl.ds(blk * BB, BB)],
+                st_sem.at[i])
+            d.start()
+            dmas.append(d)
+            o += n
+        for d in dmas:
+            d.wait()
         return
     overflow = jnp.where(done == 0, 1, overflow)
     # the reference's end finder falls back to (termination score, Ak)
@@ -1058,10 +1077,27 @@ def pallas_run_prefix(
         words = jnp.pad(words, ((0, 0), (0, 0), (0, 1)))
         fsa = jnp.pad(fsa, ((0, 0), (0, 0), (0, 1)),
                       constant_values=int(_BIG))
-    whi = jnp.transpose(words[..., 0::2], (2, 1, 0))
+    whi = jnp.transpose(words[..., 0::2], (2, 1, 0))  # [Lw2, K, B]
     wlo = jnp.transpose(words[..., 1::2], (2, 1, 0))
     fsa64 = jnp.transpose(fsa[..., 1::2], (2, 1, 0))
     Lw2 = whi.shape[0]
+    # per-row 64-bit-group shear by max(0, toff - j) >> 6 (see
+    # engine._run_batch_impl): first-row AND first-column seeds then
+    # both look up near their progress-along-the-diagonal, so the
+    # kernel's anchored group window covers every live cell; the kernel
+    # subtracts the same shear from its lookup index (VSPACE mode)
+    sg = (jnp.maximum(0, toff[None, :]
+                      - jnp.arange(K, dtype=jnp.int32)[:, None]) >> 6)
+    for bit in range(max(1, Lw2).bit_length()):
+        amt = 1 << bit
+        if amt > Lw2:
+            break
+        m = (((sg >> bit) & 1) == 1)[None]
+        z = jnp.zeros((amt,) + whi.shape[1:], jnp.int32)
+        zf = jnp.full((amt,) + whi.shape[1:], int(_BIG), jnp.int32)
+        whi = jnp.where(m, jnp.concatenate([whi[amt:], z], 0), whi)
+        wlo = jnp.where(m, jnp.concatenate([wlo[amt:], z], 0), wlo)
+        fsa64 = jnp.where(m, jnp.concatenate([fsa64[amt:], zf], 0), fsa64)
     whi = whi.reshape(Lw2 * K, B)
     wlo = wlo.reshape(Lw2 * K, B)
     fsa64 = fsa64.reshape(Lw2 * K, B)
@@ -1081,7 +1117,7 @@ def pallas_run_prefix(
          lox, hix, exx.astype(jnp.int32), Ak]
         + [jnp.zeros_like(qlen)] * (_NP - 12), axis=0)
 
-    bb = B_BLK
+    bb = B_BLK  # hardware lane blocks must be 128-wide
     if interpret:
         while bb > 8 and B <= bb // 2:
             bb //= 2
@@ -1106,12 +1142,15 @@ def pallas_run_prefix(
     WE = p.gap_ext + 1
     ch = CH if K <= 256 else (4 if K <= 512 else 2)
     Sa = ((S + ch - 1) // ch) * ch  # aux rows padded to whole DMA chunks
-    budget_wv = max(4, (12 << 20) // (3 * bb * K * 4))
-    WV = min(8, budget_wv)
+    # 8-group window (512 v-positions): in-row lookup spread is the
+    # wf-adaptive band (~110) plus the 63-position shear remainder
+    WV = 8
     stream = Lw2 > WV
     cell16 = Ltb + 2 <= 4095
     cell_dtype = jnp.int16 if cell16 else jnp.int32
-    TOT = (WM + 2 * WE + 3) * K + 3 * WM + 6 * WE
+    NB = 3 * WM + 6 * WE
+    NBP = ((NB + 7) // 8) * 8  # band rows 8-padded for the exit DMA
+    TOT = (WM + 2 * WE + 3) * K + NBP
     kern = functools.partial(
         _kernel, S=S, K=K, Lw2=Lw2, WV=WV, BB=bb, CH=ch,
         X=int(p.mismatch), OE=int(p.gap_open + p.gap_ext),
@@ -1149,8 +1188,7 @@ def pallas_run_prefix(
             pl.BlockSpec((8, bb), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((TOT, bb), lambda b: (0, b),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((8, Bp), jnp.int32),
@@ -1181,6 +1219,8 @@ def pallas_run_prefix(
             pltpu.VMEM((twv * K, bb), jnp.int32),
             pltpu.VMEM((twv * K, bb), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.VMEM((NBP, bb), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
