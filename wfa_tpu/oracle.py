@@ -214,6 +214,10 @@ class Aligner:
     ) -> None:
         self.p = penalties
         self.opt = options
+        if adaptive is not None and adaptive.min_wf_len == 0:
+            # same check the attach path runs (wfa.go:134-137): the
+            # constructor shortcut must not smuggle in an invalid option
+            raise ValueError("cutoff step should not be 0")
         self.ad = adaptive
         self.M = Component(is_m=True)
         self.I = Component()
