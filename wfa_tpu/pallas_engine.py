@@ -227,7 +227,10 @@ def _kernel(
         hi_kr = jnp.where(ex_sp, hi_sp, 0)
         row = win[pl.ds(slot * K, K)]  # [K, BB]
         found = ex_sp & (ks >= lo_sp) & (ks <= hi_sp) & (row > 0)
-        return lo_kr, hi_kr, jnp.where(found, row >> TYPE_BITS, 0), found
+        # masked PACKED value: tags are 1..6, so pv > 0 <=> found and
+        # pv >> TYPE_BITS is the offset — one tensor carries both through
+        # the k+-1 shifts (half the rolls of shifting (offset, found))
+        return lo_kr, hi_kr, jnp.where(found, row, 0)
 
     def shift_km1(row):
         r = pltpu.roll(row, 1, axis=0)
@@ -312,13 +315,13 @@ def _kernel(
     def run_next(s, done, overflow, live_in):
         """WF_NEXT (wfa.go:549-700) + backtrace-aux row construction."""
         s2 = s + 1
-        lo_x, hi_x, mx, f_mx = src_read(m_win, mb_lo, mb_hi, mb_ex, s2, X, WM)
-        lo_o, hi_o, moe, f_moe = src_read(m_win, mb_lo, mb_hi, mb_ex, s2,
-                                          OE, WM)
-        lo_ie, hi_ie, ie, f_ie = src_read(i_win, ib_lo, ib_hi, ib_ex, s2,
-                                          E, WE)
-        lo_de, hi_de, de, f_de = src_read(d_win, db_lo, db_hi, db_ex, s2,
-                                          E, WE)
+        lo_x, hi_x, pv_x = src_read(m_win, mb_lo, mb_hi, mb_ex, s2, X, WM)
+        lo_o, hi_o, pv_o = src_read(m_win, mb_lo, mb_hi, mb_ex, s2,
+                                    OE, WM)
+        lo_ie, hi_ie, pv_ie = src_read(i_win, ib_lo, ib_hi, ib_ex, s2,
+                                       E, WE)
+        lo_de, hi_de, pv_de = src_read(d_win, db_lo, db_hi, db_ex, s2,
+                                       E, WE)
 
         hi_n = jnp.minimum(
             tlen - 1,
@@ -333,45 +336,52 @@ def _kernel(
             live_in & ((lo_n < k0) | (hi_n >= k0 + K)), 1, overflow)
         live = live_in & (overflow == 0)
 
-        # insertion (wfa.go:578-608): sources at k-1
-        v1i = shift_km1(moe)
-        fmi = shift_km1(f_moe.astype(jnp.int32)) > 0
-        v2i = shift_km1(ie)
-        fii = shift_km1(f_ie.astype(jnp.int32)) > 0
+        # insertion (wfa.go:578-608): sources at k-1.  Invalidation is
+        # keep-style (keep <=> in bounds): an absent source has pv = 0 so
+        # offset 0 <= any bound, making keep true and the value unchanged
+        # — identical to the reference's found & out-of-bounds test.
+        pm_i = shift_km1(pv_o)
+        pi_i = shift_km1(pv_ie)
+        v1i = pm_i >> TYPE_BITS
+        v2i = pi_i >> TYPE_BITS
         # pre-invalidation snapshot: the backtrace recomputes offsets from
         # the raw stored cells, i.e. WITHOUT the bound invalidation below
-        # (wfa.go:757-827) — bake those values into the aux plane
-        isk_nb = jnp.where(fmi | fii, jnp.maximum(v1i, v2i) + 1, 0)
-        bad = fmi & (v1i > tlen)
-        fmi, v1i = fmi & ~bad, jnp.where(bad, 0, v1i)
-        bad = fii & (v2i > tlen)
-        fii, v2i = fii & ~bad, jnp.where(bad, 0, v2i)
+        # (wfa.go:757-827) — bake those values into the aux plane.  The
+        # snapshots are unmasked: every consumer masks them (aux_* by
+        # wr_*, aux_m_val by wr_m via tag_m).
+        isk_nb = jnp.maximum(v1i, v2i) + 1
+        keep = v1i <= tlen
+        fmi = (pm_i > 0) & keep
+        v1i = jnp.where(keep, v1i, 0)
+        keep = v2i <= tlen
+        fii = (pi_i > 0) & keep
+        v2i = jnp.where(keep, v2i, 0)
         Isk = jnp.maximum(v1i, v2i) + 1
         upd_i = fmi | fii
         tag_i = jnp.where(fmi & (v1i >= v2i), T_INS_OPEN, T_INS_EXT)
 
         # deletion (wfa.go:612-643): sources at k+1
-        v1d = shift_kp1(moe)
-        fmd = shift_kp1(f_moe.astype(jnp.int32)) > 0
-        v2d = shift_kp1(de)
-        fdd = shift_kp1(f_de.astype(jnp.int32)) > 0
-        dsk_nb = jnp.where(fmd | fdd, jnp.maximum(v1d, v2d), 0)
-        any_id_nb = fmi | fii | fmd | fdd
-        bad = fmd & ((v1d - ks) > qlen)
-        fmd, v1d = fmd & ~bad, jnp.where(bad, 0, v1d)
-        bad = fdd & ((v2d - ks) > qlen)
-        fdd, v2d = fdd & ~bad, jnp.where(bad, 0, v2d)
+        pm_d = shift_kp1(pv_o)
+        pd_d = shift_kp1(pv_de)
+        v1d = pm_d >> TYPE_BITS
+        v2d = pd_d >> TYPE_BITS
+        dsk_nb = jnp.maximum(v1d, v2d)
+        keep = (v1d - ks) <= qlen
+        fmd = (pm_d > 0) & keep
+        v1d = jnp.where(keep, v1d, 0)
+        keep = (v2d - ks) <= qlen
+        fdd = (pd_d > 0) & keep
+        v2d = jnp.where(keep, v2d, 0)
         Dsk = jnp.maximum(v1d, v2d)
         upd_d = fmd | fdd
         tag_d = jnp.where(fmd & (v1d >= v2d), T_DEL_OPEN, T_DEL_EXT)
 
         # mismatch / M with the reference tie-breaking (wfa.go:648-698)
-        v1x, fmx = mx, f_mx
-        off_def_nb = jnp.where(
-            any_id_nb | fmx,
-            jnp.maximum(jnp.maximum(isk_nb, dsk_nb), v1x + 1), 0)
-        bad = fmx & ((v1x > tlen) | ((v1x - ks) > qlen))
-        fmx, v1x = fmx & ~bad, jnp.where(bad, 0, v1x)
+        v1x = pv_x >> TYPE_BITS
+        off_def_nb = jnp.maximum(jnp.maximum(isk_nb, dsk_nb), v1x + 1)
+        keep = (v1x <= tlen) & ((v1x - ks) <= qlen)
+        fmx = (pv_x > 0) & keep
+        v1x = jnp.where(keep, v1x, 0)
         Msk = jnp.maximum(
             jnp.maximum(jnp.where(upd_i, Isk, 0), jnp.where(upd_d, Dsk, 0)),
             v1x + 1)
@@ -423,28 +433,33 @@ def _kernel(
         aux_m_new = jnp.where(wr_m, (aux_m_val << TYPE_BITS) | tag_m,
                               row_m_old & 7)
 
-        any_i = sany(wr_i)
-        any_d = sany(wr_d)
-        any_m = sany(wr_m)
+        # the lo min-reduces double as existence tests (empty -> _BIG),
+        # saving three dedicated any-reduces
         lo_i_n = smin(ks, wr_i)
         hi_i_n = smax(ks, wr_i)
         lo_d_n = smin(ks, wr_d)
         hi_d_n = smax(ks, wr_d)
-        lo_m_n = jnp.minimum(smin(ks, wr_m),
+        lo_m_raw = smin(ks, wr_m)
+        any_i = lo_i_n < _BIG
+        any_d = lo_d_n < _BIG
+        any_m = lo_m_raw < _BIG
+        lo_m_n = jnp.minimum(lo_m_raw,
                              jnp.where(ex_m_old, lo_m_old, _BIG))
         hi_m_n = jnp.maximum(smax(ks, wr_m),
                              jnp.where(ex_m_old, hi_m_old, -_BIG))
 
         frz = ~live
-        i_win[pl.ds(slot_s2e * K, K)] = jnp.where(frz, 0, row_i_new)
-        d_win[pl.ds(slot_s2e * K, K)] = jnp.where(frz, 0, row_d_new)
-        m_win[pl.ds(slot_s2 * K, K)] = jnp.where(
-            frz, jnp.where(at_seed, row_m_old, 0), row_m_new)
+        # window writes need no freeze select: wr_* already carries
+        # `live`, so frozen lanes get 0 (i/d/aux-i/aux-d) or fall through
+        # to row_m_old / row_m_old & 7 (m/aux-m), which is itself
+        # at_seed-masked — exactly the frozen-lane requirement
+        i_win[pl.ds(slot_s2e * K, K)] = row_i_new
+        d_win[pl.ds(slot_s2e * K, K)] = row_d_new
+        m_win[pl.ds(slot_s2 * K, K)] = row_m_new
         slot_s2a = lax.rem(s2, 2)
-        ai_win[pl.ds(slot_s2a * K, K)] = jnp.where(frz, 0, aux_i_new)
-        ad_win[pl.ds(slot_s2a * K, K)] = jnp.where(frz, 0, aux_d_new)
-        am_win[pl.ds(slot_s2a * K, K)] = jnp.where(
-            frz, jnp.where(at_seed, row_m_old & 7, 0), aux_m_new)
+        ai_win[pl.ds(slot_s2a * K, K)] = aux_i_new
+        ad_win[pl.ds(slot_s2a * K, K)] = aux_d_new
+        am_win[pl.ds(slot_s2a * K, K)] = aux_m_new
 
         ib_lo[pl.ds(slot_s2e, 1)] = jnp.where(frz | ~any_i, _BIG, lo_i_n)
         ib_hi[pl.ds(slot_s2e, 1)] = jnp.where(frz | ~any_i, -_BIG, hi_i_n)
@@ -647,7 +662,7 @@ def _kernel(
             first_good = smin(row_k, good)
             last_mark = smax(row_k, marked & (row_k < first_good))
             any_marked = sany(marked)
-            any_good = sany(good)
+            any_good = first_good < _BIG  # smin doubles as the any-test
             last_good = smax(row_k, good)
             new_lo = jnp.where(last_mark > -_BIG, k0 + last_mark + 1, lo_ms)
             new_hi = jnp.where(any_marked & any_good, k0 + last_good, hi_ms)
