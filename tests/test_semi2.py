@@ -217,3 +217,34 @@ def test_engine_vwin_matches_cspace():
                                   np.asarray(st_v.hist_m))
     np.testing.assert_array_equal(np.asarray(st_c.aux_m),
                                   np.asarray(st_v.aux_m))
+
+
+def test_engine_vwin_qlen_at_buffer_edge():
+    """qlen == Lq pairs must run the v-space prefix without escaping:
+    the table's extra 64-position group makes the v == qlen stop
+    representable (it used to be out of table, flagging overflow)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from wfa_tpu.engine import BatchAligner, _run_batch_impl
+
+    eng = BatchAligner(PEN, SEMI, ADA, k_win=512, s_cap=192)
+    # identical 128-base pairs: qlen == tlen == 128 == _pad_len(128),
+    # plus one mutated pair so the batch is not all-trivial
+    pairs = generate_pairs(2, 128, 0.0, seed=3) + \
+        generate_pairs(1, 128, 0.1, seed=4)
+    qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = eng._pack_all(pairs)
+    assert int(qlen.max()) == Lq  # the edge case under test
+    args = tuple(jnp.asarray(a) for a in (qb, tbuf, qlen, tlen, toff))
+    cfg_c = dataclasses.replace(eng.cfg, w_win=None)
+    cfg_v = dataclasses.replace(eng.cfg, w_win=None, v_win=Lq)
+    st_c = _run_batch_impl(*args, cfg=cfg_c, B=3, Lq=Lq, Ltb=Ltb)
+    st_v = _run_batch_impl(*args, cfg=cfg_v, B=3, Lq=Lq, Ltb=Ltb)
+    assert not np.asarray(st_v.overflow).any()
+    np.testing.assert_array_equal(np.asarray(st_c.final_s),
+                                  np.asarray(st_v.final_s))
+    np.testing.assert_array_equal(np.asarray(st_c.hist_m),
+                                  np.asarray(st_v.hist_m))
+    np.testing.assert_array_equal(np.asarray(st_c.aux_m),
+                                  np.asarray(st_v.aux_m))

@@ -222,18 +222,25 @@ def _stop_tables_v(qb, tbuf, qlen, tlen, toff, K: int, Lq: int, Ltb: int,
     buffer — so per-step lookups cluster tightly in v-space and the
     kernel's anchored window works where a c-space window would outrun
     on the very first seed row.  Extensions whose first stop lies beyond
-    VW flag overflow (retry on the exact full-span tiers).
+    the table edge flag overflow (retry on the exact full-span tiers).
+
+    The table is built one 64-position group WIDER than VW so that the
+    ``v == qlen`` stop of ``qlen == VW`` pairs is representable (those
+    pairs used to escape to the exact tiers); the extra group is
+    computed honestly (a fabricated all-stop group would silently
+    shorten extensions of qlen > VW pairs).
 
     Same packed-word + first-stop-after outputs as :func:`_stop_tables`,
     with the word axis indexing v instead of c.
     """
     B = qb.shape[0]
-    Lvw = VW // 32
     assert VW % 64 == 0 and VW <= Lq
+    VWe = VW + 64
+    Lvw = VWe // 32
 
     # t_sh[b, j, v] = tbuf[b, v + j] by log2(K) concat-and-shift
     # doublings.  Invariant: R[b, r, v] = tpad[b, v + r].
-    Lp = K + VW
+    Lp = K + VWe
     tpad = jnp.zeros((B, 1, Lp), jnp.uint8)
     tb_in = tbuf if Ltb <= Lp else lax.slice(tbuf, (0, 0), (B, Lp))
     tpad = lax.dynamic_update_slice(tpad, tb_in[:, None, :], (0, 0, 0))
@@ -243,9 +250,9 @@ def _stop_tables_v(qb, tbuf, qlen, tlen, toff, K: int, Lq: int, Ltb: int,
         shifted = jnp.pad(R, ((0, 0), (0, 0), (0, d)))[:, :, d:]
         R = jnp.concatenate([R, shifted], axis=1)
         d *= 2
-    t_sh = lax.slice(R, (0, 0, 0), (B, K, VW))  # [B, K, VW]
+    t_sh = lax.slice(R, (0, 0, 0), (B, K, VWe))  # [B, K, VWe]
 
-    vs = jnp.arange(VW, dtype=jnp.int32)[None, None, :]
+    vs = jnp.arange(VWe, dtype=jnp.int32)[None, None, :]
     js = jnp.arange(K, dtype=jnp.int32)[None, :, None]
     cs = vs + js
     valid = (
@@ -253,8 +260,9 @@ def _stop_tables_v(qb, tbuf, qlen, tlen, toff, K: int, Lq: int, Ltb: int,
         & (cs >= toff[:, None, None])
         & (cs < (toff + tlen)[:, None, None])
     )
-    qv = lax.slice(qb, (0, 0), (B, VW))[:, None, :]
-    stop = ~(valid & (qv == t_sh))  # [B, K, VW] bool
+    qpad = qb if Lq >= VWe else jnp.pad(qb, ((0, 0), (0, VWe - Lq)))
+    qv = lax.slice(qpad, (0, 0), (B, VWe))[:, None, :]
+    stop = ~(valid & (qv == t_sh))  # [B, K, VWe] bool
 
     bits = stop.reshape(B, K, Lvw, 32).astype(jnp.int32)
     weights = (jnp.int32(1) << (31 - jnp.arange(32, dtype=jnp.int32)))
@@ -590,10 +598,12 @@ def _run_batch_impl(
         n_ext = jnp.where(act0, n_ext, 0)
         if VW:
             # a first stop at/past the v-table edge is unrepresentable
-            # (the true stop may lie further) — escape those pairs; the
-            # retries are exact.  Only qlen == VW pairs can hit this in
-            # practice (the v == qlen stop is then out of table).
-            bad = act0 & (c_abs + n_ext >= VW)
+            # (the true stop may lie further; sheared rows lose their
+            # top words to the pad) — escape those pairs; the retries
+            # are exact.  The table's extra 64-position group makes the
+            # v == qlen stop representable even at qlen == VW, so only
+            # shear-outrun cells can hit this.
+            bad = act0 & (c_abs + n_ext >= Lw * 32)
             bad_any = jnp.any(bad, axis=1)
             outrun_now = outrun_now | bad_any
             overflow = overflow | bad_any

@@ -612,8 +612,10 @@ def _kernel(
             # a first stop at/past the v-table edge is unrepresentable
             # (the true stop may lie further; sheared-away top groups
             # read as stop-free with fsa=BIG) — escape those pairs (the
-            # retries are exact).  Only qlen == VW pairs hit this in
-            # practice: the v == qlen stop is then out of table.
+            # retries are exact).  The table's extra 64-position group
+            # (engine._stop_tables_v) keeps the v == qlen stop of
+            # qlen == VW pairs representable, so only shear-outrun
+            # cells and qlen >= VW + 64 pairs can hit this.
             vwt = Lw2 * 64
             bad_ext = act0 & (c_abs + n_ext >= vwt)
             outrun_now = jnp.where(sany(bad_ext), 1, outrun_now)
