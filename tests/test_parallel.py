@@ -312,3 +312,38 @@ def test_pipeline_mesh_realistic_length():
             ref.q_begin, ref.q_end, ref.t_begin, ref.t_end)
         assert (res.align_len, res.matches, res.gaps, res.gap_regions) == (
             ref.align_len, ref.matches, ref.gaps, ref.gap_regions)
+
+
+@pytest.mark.skipif(
+    jax.device_count() < 4, reason="needs 4 (virtual) devices"
+)
+def test_semi2_pipeline_under_mesh():
+    """Two-phase semi-global data-parallel over a mesh: both device
+    phases run through shard_map (parallel.dp_semi2_*_fn) with the
+    batch mesh-padded; results bit-exact vs the oracle and the pipeline
+    must actually pick a semi2 tier (not the full-span fallback)."""
+    from wfa_tpu import (AdaptiveReductionOption, Options, OracleAligner,
+                         Penalties)
+    from wfa_tpu.datagen import generate_pairs
+    from wfa_tpu.pipeline import AlignmentPipeline, PipelineConfig
+
+    cfg = PipelineConfig(
+        penalties=Penalties(4, 6, 2), options=Options(False),
+        adaptive=AdaptiveReductionOption(10, 50, 1), batch_size=9,
+        n_devices=4)
+    pipe = AlignmentPipeline(cfg)
+    assert pipe._mesh is not None and pipe._mesh.devices.size == 4
+    assert pipe._semi2_ok
+    # l=300 -> full_span > 512 fires the semi2 ladder; 9 pairs over 4
+    # devices exercises the mesh padding inside _submit_semi2
+    pairs = generate_pairs(9, 300, 0.05, seed=23)
+    results = pipe.align_all(pairs)
+    assert any(k[3].startswith("semi2") for k in pipe._engines), (
+        "mesh pipeline never used the two-phase semi-global path")
+    oracle = OracleAligner(cfg.penalties, cfg.options, cfg.adaptive)
+    for (q, t), res in zip(pairs, results):
+        ref = oracle.align(q, t)
+        assert res.score == ref.score, (q, t)
+        assert res.cigar(False) == ref.cigar(False), (q, t)
+        assert (res.align_len, res.matches, res.gaps, res.gap_regions) == (
+            ref.align_len, ref.matches, ref.gaps, ref.gap_regions)

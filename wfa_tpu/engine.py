@@ -1414,16 +1414,30 @@ class BatchAligner:
     def _submit_semi2(self, pairs, prepacked=None):
         """Two-phase semi-global submit (wfa_tpu.semi2): full-span
         prefix -> fetch per-pair windows -> re-place targets -> narrow
-        kernel resume.  Returns the standard finish_small handle."""
+        kernel resume.  Returns the standard finish_small handle.
+
+        Under a (single-process) mesh both device phases run through
+        cached shard_map wrappers (parallel.dp_semi2_*_fn) with the
+        batch padded to the mesh size; the host mid-point re-placement
+        already operates on the whole batch either way."""
         from . import native
         from .semi2 import M1_K02, phase2, prefix_export2
 
-        B = len(pairs)
+        if self.mesh is not None:
+            assert jax.process_count() == 1, (
+                "two-phase semi-global is single-process only; multi-host"
+                " runs use the exact full-span tier")
+            short = (-len(pairs)) % self.mesh.devices.size
+            pairs_eff = list(pairs) + [(b"A", b"A")] * short
+            prepacked = None  # pipeline prepack covers unpadded batches
+        else:
+            pairs_eff = pairs
+        B = len(pairs_eff)
         if prepacked is not None:
             qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = prepacked
         else:
             qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = self._pack_all(
-                pairs)
+                pairs_eff)
         packed = tp is not None
         seq = np.concatenate([qp if packed else qb, tp if packed else tbuf],
                              axis=1)
@@ -1442,7 +1456,8 @@ class BatchAligner:
         from .pallas_engine import supports_prefix
 
         use_kernel = (os.environ.get("WFA_SEMI2_KERNEL_PREFIX") == "1"
-                      and supports_prefix(self.cfg))
+                      and supports_prefix(self.cfg)
+                      and self.mesh is None)
         # v-shear table + FULL-table reads: measured fastest XLA prefix
         # (322 ms vs 368 c-space vs 594 anchored-window at B=944 l=1k —
         # the per-step dynamic-slice of a window costs more than reading
@@ -1450,10 +1465,17 @@ class BatchAligner:
         pcfg = dataclasses.replace(
             self.cfg, k_win=Kf, w_win=None,
             v_win=None if use_kernel else Lq)
-        exports = prefix_export2(
-            jnp.asarray(seq), jnp.asarray(lens), cfg=pcfg, B=B, Lq=Lq,
-            Ltb=Ltb, S0=self.s_switch, K2=self.cfg.k_win, packed=packed,
-            use_kernel=use_kernel)
+        if self.mesh is not None:
+            from .parallel import dp_semi2_prefix_fn
+
+            exports = dp_semi2_prefix_fn(
+                pcfg, self.mesh, B, Lq, Ltb, self.s_switch,
+                self.cfg.k_win, packed)(jnp.asarray(seq), jnp.asarray(lens))
+        else:
+            exports = prefix_export2(
+                jnp.asarray(seq), jnp.asarray(lens), cfg=pcfg, B=B, Lq=Lq,
+                Ltb=Ltb, S0=self.s_switch, K2=self.cfg.k_win, packed=packed,
+                use_kernel=use_kernel)
         # the only mid-point host sync: the per-pair window origins
         m1 = np.asarray(exports["meta1"])
         k02 = m1[:, M1_K02].astype(np.int32)
@@ -1462,7 +1484,7 @@ class BatchAligner:
         # target position c - toff2 (k02 > 0 drops the unreachable
         # first k02 target bases)
         t_eff = [t[int(k):] if int(k) > 0 else t
-                 for (q, t), k in zip(pairs, k02)]
+                 for (q, t), k in zip(pairs_eff, k02)]
         tlen2 = np.fromiter((len(t) for t in t_eff), np.int32, B)
         off_eff = np.maximum(toff2, 0).astype(np.int32)
         Ltb2 = _pad_len(max(int((off_eff + tlen2).max()), 1))
@@ -1479,13 +1501,22 @@ class BatchAligner:
         seq2 = np.concatenate(
             [qp if packed2 else qb, t2p if packed2 else t2raw], axis=1)
         lens2 = np.stack([qlen, tlen, toff2], axis=1).astype(np.int32)
-        out = phase2(
+        p2_args = (
             jnp.asarray(seq2), jnp.asarray(lens2),
             exports["win_m"], exports["win_i"], exports["win_d"],
             exports["ainit"], exports["b_m"], exports["b_ie"],
-            exports["meta1"], exports["aux_old"],
-            cfg=self.cfg, B=B, Lq=Lq, Ltb_full=Ltb, Ltb2=Ltb2,
-            S0=self.s_switch, packed=packed2, old_lanes=use_kernel)
+            exports["meta1"], exports["aux_old"])
+        if self.mesh is not None:
+            from .parallel import dp_semi2_phase2_fn
+
+            out = dp_semi2_phase2_fn(
+                self.cfg, self.mesh, B, Lq, Ltb, Ltb2, self.s_switch,
+                packed2)(*p2_args)
+        else:
+            out = phase2(
+                *p2_args, cfg=self.cfg, B=B, Lq=Lq, Ltb_full=Ltb,
+                Ltb2=Ltb2, S0=self.s_switch, packed=packed2,
+                old_lanes=use_kernel)
         return self._queue_fetch(pairs, out)
 
     @staticmethod

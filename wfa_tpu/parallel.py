@@ -165,6 +165,92 @@ def dp_align_full(
     return fn(seq, lens)
 
 
+_DP_SEMI2_CACHE: dict = {}
+
+# export/handoff tensors of the two-phase semi-global path (wfa_tpu.semi2)
+# shard along their batch axis; everything else is replicated per shard
+_SEMI2_EXPORT_SPECS = {
+    "win_m": P(None, "dp", None), "win_i": P(None, "dp", None),
+    "win_d": P(None, "dp", None), "ainit": P(None, "dp", None),
+    "b_m": P(None, "dp"), "b_ie": P(None, "dp"),
+    "meta1": P("dp"), "aux_old": P(None, None, "dp", None),
+}
+
+
+def dp_semi2_prefix_fn(cfg: EngineConfig, mesh: Mesh, B: int, Lq: int,
+                       Ltb: int, S0: int, K2: int, packed: bool):
+    """Cached jitted data-parallel phase-1 exporter (wfa_tpu.semi2):
+    each device runs the full-span prefix on its batch shard and emits
+    the batch-sharded handoff dict.  Host mid-point work (window fetch,
+    target re-placement) is untouched — it already operates on the
+    whole batch.  XLA exporter only (the kernel EXPORT mode stays
+    single-device)."""
+    key = ("prefix", cfg, mesh, B, Lq, Ltb, S0, K2, packed)
+    fn = _DP_SEMI2_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from .semi2 import _prefix_export2_impl
+
+    lb = B // mesh.devices.size
+    assert B % mesh.devices.size == 0
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P("dp"), P("dp")),
+        out_specs=_SEMI2_EXPORT_SPECS, check_vma=False,
+    )
+    def _sharded(seq_s, lens_s):
+        return _prefix_export2_impl(
+            seq_s, lens_s, cfg=cfg, B=lb, Lq=Lq, Ltb=Ltb, S0=S0, K2=K2,
+            packed=packed, use_kernel=False)
+
+    fn = jax.jit(_sharded)
+    _DP_SEMI2_CACHE[key] = fn
+    return fn
+
+
+def dp_semi2_phase2_fn(cfg: EngineConfig, mesh: Mesh, B: int, Lq: int,
+                       Ltb_full: int, Ltb2: int, S0: int, packed: bool):
+    """Cached jitted data-parallel phase-2 resume: the narrow-window
+    kernel + dual-aux backtrace runs per shard on the re-placed targets;
+    outputs match :func:`dp_align_full_fn`'s sharded layout."""
+    key = ("phase2", cfg, mesh, B, Lq, Ltb_full, Ltb2, S0, packed)
+    fn = _DP_SEMI2_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from .engine import _token_plan
+    from .semi2 import _phase2_impl
+
+    lb = B // mesh.devices.size
+    assert B % mesh.devices.size == 0
+    _, compact = _token_plan(cfg.s_cap, cfg.penalties, Lq, Ltb_full)
+    if compact:
+        tok_specs = {"toks": P("dp")}
+    else:
+        tok_specs = {"tok0": P("dp"), "buf": P(None, "dp", None),
+                     "tail": P("dp")}
+    in_specs = (P("dp"), P("dp"),
+                _SEMI2_EXPORT_SPECS["win_m"], _SEMI2_EXPORT_SPECS["win_i"],
+                _SEMI2_EXPORT_SPECS["win_d"], _SEMI2_EXPORT_SPECS["ainit"],
+                _SEMI2_EXPORT_SPECS["b_m"], _SEMI2_EXPORT_SPECS["b_ie"],
+                _SEMI2_EXPORT_SPECS["meta1"],
+                _SEMI2_EXPORT_SPECS["aux_old"])
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=in_specs,
+        out_specs={"meta": P("dp"), **tok_specs}, check_vma=False,
+    )
+    def _sharded(seq2_s, lens2_s, wm_s, wi_s, wd_s, ai_s, bm_s, bie_s,
+                 m1_s, ao_s):
+        return _phase2_impl(
+            seq2_s, lens2_s, wm_s, wi_s, wd_s, ai_s, bm_s, bie_s, m1_s,
+            ao_s, cfg=cfg, B=lb, Lq=Lq, Ltb_full=Ltb_full, Ltb2=Ltb2,
+            S0=S0, packed=packed, old_lanes=False)
+
+    fn = jax.jit(_sharded)
+    _DP_SEMI2_CACHE[key] = fn
+    return fn
+
+
 def dp_align_scores(
     qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig, mesh: Mesh,
     Lq: int, Ltb: int,
