@@ -226,8 +226,25 @@ pipe = AlignmentPipeline(cfg)
 assert pipe._mesh is not None and pipe._mesh.devices.size == jax.device_count()
 pairs = generate_pairs(12, 50, 0.1, seed=33)
 results = pipe.align_all(pairs)
+# the DEVICE path must have produced these (a fetch failure would fall
+# back to the host oracle and still "pass" — silently untested DCN path)
+assert pipe._device_errors == 0, pipe._device_errors
 digest = [(r.score, r.cigar(False), r.align_len, r.matches) for r in results]
 print("DIGEST:" + repr(digest))
+
+# two-phase semi-global multi-host: both shard_map phases + the
+# allgathered mid-point re-placement
+scfg = PipelineConfig(
+    penalties=Penalties(4, 6, 2), options=Options(False),
+    adaptive=AdaptiveReductionOption(10, 50, 1), batch_size=6)
+spipe = AlignmentPipeline(scfg)
+spairs = generate_pairs(6, 280, 0.06, seed=77)
+sres = spipe.align_all(spairs)
+assert spipe._device_errors == 0, spipe._device_errors
+assert any(k[3].startswith("semi2") for k in spipe._engines), (
+    "multi-host pipeline never used the two-phase semi-global path")
+sdigest = [(r.score, r.cigar(False), r.align_len, r.matches) for r in sres]
+print("SDIGEST:" + repr(sdigest))
 """
 
 
@@ -267,12 +284,16 @@ def test_multihost_two_process_cpu():
         out, err = p.communicate(timeout=600)
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         outs.append(out)
-    digests = []
+    digests, sdigests = [], []
     for out in outs:
         line = [l for l in out.splitlines() if l.startswith("DIGEST:")]
         assert line, out
         digests.append(eval(line[0][len("DIGEST:"):]))
+        sline = [l for l in out.splitlines() if l.startswith("SDIGEST:")]
+        assert sline, out
+        sdigests.append(eval(sline[0][len("SDIGEST:"):]))
     assert digests[0] == digests[1], "processes disagree"
+    assert sdigests[0] == sdigests[1], "processes disagree (semi-global)"
     oracle = OracleAligner(Penalties(4, 6, 2), Options(True),
                            AdaptiveReductionOption(10, 50, 1))
     pairs = generate_pairs(12, 50, 0.1, seed=33)
@@ -281,6 +302,14 @@ def test_multihost_two_process_cpu():
         for r in (oracle.align(q, t) for q, t in pairs)
     ]
     assert digests[0] == expect
+    soracle = OracleAligner(Penalties(4, 6, 2), Options(False),
+                            AdaptiveReductionOption(10, 50, 1))
+    spairs = generate_pairs(6, 280, 0.06, seed=77)
+    sexpect = [
+        (r.score, r.cigar(False), r.align_len, r.matches)
+        for r in (soracle.align(q, t) for q, t in spairs)
+    ]
+    assert sdigests[0] == sexpect
 
 
 @pytest.mark.skipif(
@@ -333,7 +362,6 @@ def test_semi2_pipeline_under_mesh():
         n_devices=4)
     pipe = AlignmentPipeline(cfg)
     assert pipe._mesh is not None and pipe._mesh.devices.size == 4
-    assert pipe._semi2_ok
     # l=300 -> full_span > 512 fires the semi2 ladder; 9 pairs over 4
     # devices exercises the mesh padding inside _submit_semi2
     pairs = generate_pairs(9, 300, 0.05, seed=23)

@@ -63,6 +63,29 @@ from .oracle import Aligner as OracleAligner
 _BIG = np.int32(1 << 30)
 
 
+def _host_fetch(x):
+    """Device array -> numpy.  Multi-host global arrays span
+    non-addressable shards that ``device_get`` refuses; gather them
+    across processes first (tiled => concatenated along the sharded
+    axis, i.e. the original global array)."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def _global_args(mesh, host_args):
+    """Upload host numpy args as batch-sharded global jax.Arrays (every
+    process holds the same full input, so each serves any shard)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sh = NamedSharding(mesh, PartitionSpec("dp"))
+    return tuple(
+        jax.make_array_from_callback(a.shape, sh, lambda idx, a=a: a[idx])
+        for a in host_args)
+
+
 def _pad_len(n: int) -> int:
     """Pad buffer lengths to coarse steps so same-bucket chunks with
     slightly different maxima share one compiled program."""
@@ -1364,13 +1387,7 @@ class BatchAligner:
             # multi-host: a jitted shard_map over a global mesh needs
             # global jax.Arrays, not process-local numpy (every process
             # runs the same input, so each can serve any shard index)
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            sh = NamedSharding(self.mesh, PartitionSpec("dp"))
-            args = tuple(
-                jax.make_array_from_callback(a.shape, sh,
-                                             lambda idx, a=a: a[idx])
-                for a in host_args)
+            args = _global_args(self.mesh, host_args)
         else:
             args = tuple(jnp.asarray(a) for a in host_args)
         if self.mesh is not None:
@@ -1424,9 +1441,6 @@ class BatchAligner:
         from .semi2 import M1_K02, phase2, prefix_export2
 
         if self.mesh is not None:
-            assert jax.process_count() == 1, (
-                "two-phase semi-global is single-process only; multi-host"
-                " runs use the exact full-span tier")
             short = (-len(pairs)) % self.mesh.devices.size
             pairs_eff = list(pairs) + [(b"A", b"A")] * short
             prepacked = None  # pipeline prepack covers unpadded batches
@@ -1468,16 +1482,21 @@ class BatchAligner:
         if self.mesh is not None:
             from .parallel import dp_semi2_prefix_fn
 
+            args1 = (_global_args(self.mesh, (seq, lens))
+                     if jax.process_count() > 1
+                     else (jnp.asarray(seq), jnp.asarray(lens)))
             exports = dp_semi2_prefix_fn(
                 pcfg, self.mesh, B, Lq, Ltb, self.s_switch,
-                self.cfg.k_win, packed)(jnp.asarray(seq), jnp.asarray(lens))
+                self.cfg.k_win, packed)(*args1)
         else:
             exports = prefix_export2(
                 jnp.asarray(seq), jnp.asarray(lens), cfg=pcfg, B=B, Lq=Lq,
                 Ltb=Ltb, S0=self.s_switch, K2=self.cfg.k_win, packed=packed,
                 use_kernel=use_kernel)
         # the only mid-point host sync: the per-pair window origins
-        m1 = np.asarray(exports["meta1"])
+        # (multi-host: an allgather — every process needs every pair's
+        # origin to build the identical re-placed global batch)
+        m1 = _host_fetch(exports["meta1"])
         k02 = m1[:, M1_K02].astype(np.int32)
         toff2 = -k02
         # re-place each target for its narrow window: column c holds
@@ -1501,8 +1520,11 @@ class BatchAligner:
         seq2 = np.concatenate(
             [qp if packed2 else qb, t2p if packed2 else t2raw], axis=1)
         lens2 = np.stack([qlen, tlen, toff2], axis=1).astype(np.int32)
+        args2 = (_global_args(self.mesh, (seq2, lens2))
+                 if self.mesh is not None and jax.process_count() > 1
+                 else (jnp.asarray(seq2), jnp.asarray(lens2)))
         p2_args = (
-            jnp.asarray(seq2), jnp.asarray(lens2),
+            *args2,
             exports["win_m"], exports["win_i"], exports["win_d"],
             exports["ainit"], exports["b_m"], exports["b_ie"],
             exports["meta1"], exports["aux_old"])
@@ -1539,7 +1561,7 @@ class BatchAligner:
         pairs, dev, spec = handle
         big = "toks" if "toks" in dev else "buf"
         small = {k: a for k, a in dev.items() if k != big}
-        out = jax.device_get(small)
+        out = {k: _host_fetch(a) for k, a in small.items()}
         # fetch only the used token columns/rows (rounded so slice
         # programs are reused); the rest is all-zero
         n = int(out["meta"][:, M_TRIM].max()) if len(pairs) else 0
@@ -1571,7 +1593,7 @@ class BatchAligner:
 
     def finish_tokens(self, handle2, fallback: bool = True):
         pairs, dev, out, big, spec, trim = handle2
-        parts = [np.asarray(a) for a in (spec, trim) if a is not None]
+        parts = [_host_fetch(a) for a in (spec, trim) if a is not None]
         axis = 1 if big == "toks" else 0
         out[big] = parts[0] if len(parts) == 1 else np.concatenate(
             parts, axis=axis)

@@ -56,7 +56,6 @@ class AlignmentPipeline:
         self._pool = None  # lazy drain ThreadPoolExecutor (_drain_pool)
         self._spool = None  # lazy submit ThreadPoolExecutor (_submit_pool)
         self._mesh = None
-        self._semi2_ok = True
         if cfg.use_device:
             import jax
 
@@ -65,11 +64,6 @@ class AlignmentPipeline:
                 from .parallel import make_dp_mesh
 
                 self._mesh = make_dp_mesh(n)
-                # the two-phase semi-global path runs data-parallel on a
-                # single-process mesh; multi-host runs keep the exact
-                # full-span tier (its mid-point host sync would need a
-                # cross-process gather)
-                self._semi2_ok = jax.process_count() == 1
 
     # -- window/cap policy ---------------------------------------------------
 
@@ -89,15 +83,14 @@ class AlignmentPipeline:
             # kernel in a narrow window; the S0/k_win ladder covers
             # rising error rates, and the exact full-span engine remains
             # the final tier
-            if (cfg.adaptive is not None and full_span > 512
-                    and self._semi2_ok and tier <= 2):
+            if cfg.adaptive is not None and full_span > 512 and tier <= 2:
                 # prefix-length ladder: each tier's prefix must outlast
                 # the measured band collapse for its error regime; the
                 # escape probe keeps doomed tiers cheap
                 semi2_s0 = (48, 112, 200)[tier]
                 k_win = (256, 512, 512)[tier]
             else:
-                k_win = full_span  # exact final tier (and -a/multi-host)
+                k_win = full_span  # exact final tier (and -a runs)
         elif cfg.adaptive is not None:
             # wf-adaptive trims the band to ~2*max_dist_diff around the
             # optimal path, whose diagonal drifts like a random walk —
