@@ -194,6 +194,56 @@ def test_semi2_kernel_prefix_end_to_end(monkeypatch):
     assert _check(pairs, results, oracle, allow_none=True) >= 5
 
 
+@pytest.mark.parametrize("l,e,B,KC", [(60, 0.05, 6, 128),
+                                      (200, 0.20, 8, 256),
+                                      (600, 0.08, 4, 128)])
+def test_prefix_chunked_matches_whole_k(l, e, B, KC):
+    """pallas_prefix's chunked kernel must export byte-identical
+    (out, aux, state) to the whole-K EXPORT kernel — covering done
+    pairs + fused end finder (l=60), heavy wf-adaptive trims (e=0.2),
+    and the streamed v-table window (l=600 > the 8-group VMEM window)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from wfa_tpu.engine import BatchAligner
+    from wfa_tpu.pallas_engine import pallas_run_prefix
+    from wfa_tpu.pallas_prefix import pallas_run_prefix_chunked
+
+    eng = BatchAligner(PEN, SEMI, ADA, k_win=256, s_cap=256,
+                       engine="semi2:40")
+    pairs = generate_pairs(B, l, e, seed=7)
+    qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = eng._pack_all(pairs)
+    Kf = ((int((qlen + tlen).max()) + 1 + 127) // 128) * 128
+    args = tuple(jnp.asarray(a) for a in (qb, tbuf, qlen, tlen, toff))
+    S0 = 40
+    kcfg = dataclasses.replace(eng.cfg, k_win=Kf, w_win=None, s_cap=S0 + 1)
+    VW = max(128, min(1024, Lq))
+    out_w, aux_w, state_w, Bp_w = pallas_run_prefix(
+        *args, cfg=kcfg, B=B, Lq=Lq, Ltb=Ltb, VW=VW, interpret=True)
+    out_c, aux_c, state_c, Bp_c = pallas_run_prefix_chunked(
+        *args, cfg=kcfg, B=B, Lq=Lq, Ltb=Ltb, VW=VW, KC=KC,
+        interpret=True)
+    assert Bp_w == Bp_c
+    out_w, aux_w, state_w = map(np.asarray, (out_w, aux_w, state_w))
+    out_c, aux_c, state_c = map(np.asarray, (out_c, aux_c, state_c))
+    np.testing.assert_array_equal(out_w[:, :B], out_c[:, :B],
+                                  err_msg="out")
+    done = out_w[1, :B] > 0
+    ovf = out_w[2, :B] > 0
+    fs = out_w[0, :B]
+    for b in range(B):
+        # aux rows are defined up to each pair's exit score; exported
+        # state is a don't-care for pairs that finished in the prefix
+        smax = int(fs[b]) + 1 if done[b] and not ovf[b] else S0
+        np.testing.assert_array_equal(
+            aux_w[:, :smax, :, b], aux_c[:, :smax, :, b],
+            err_msg=f"aux pair {b}")
+        if not done[b]:
+            np.testing.assert_array_equal(state_w[:, b], state_c[:, b],
+                                          err_msg=f"state pair {b}")
+
+
 def test_engine_vwin_matches_cspace():
     """The sheared v-space stop tables are an exact drop-in for the
     c-space tables (full-table reads, semi-global full span)."""

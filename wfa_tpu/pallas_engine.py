@@ -1057,25 +1057,16 @@ def supports_prefix(cfg: EngineConfig) -> bool:
     return wm <= 64 and p.gap_ext + 1 <= 64
 
 
-def pallas_run_prefix(
-    qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig, B: int, Lq: int,
-    Ltb: int, VW: int, interpret: bool = False,
-):
-    """Run the full-span semi-global prefix (scores 0..s_cap-2) on the
-    wide kernel and export the handoff state (EXPORT mode).
-
-    Stop tables are v-space (engine._stop_tables_v): during the wide
-    prefix every diagonal's progress clusters below VW, where a c-space
-    window would outrun on the seed row.  Returns
-    (out [8, B], aux [3, Sa, K, Bp] pairs-on-lanes with rows 0..s_cap-2
-    valid, state [TOT, Bp], Bp) — out rows are final_s, done, overflow,
-    end_found, term_cell, end_s, end_k, end_cell.
-    """
+def _prefix_inputs(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
+                   B: int, Lq: int, Ltb: int, VW: int):
+    """Shared phase-1 input construction for the wide prefix kernels
+    (whole-K EXPORT mode here; chunked variant in wfa_tpu.pallas_prefix):
+    sheared v-space stop tables in the kernels' group-major
+    pairs-on-lanes layout, seed rows, and the packed params tensor."""
     from .engine import _seed_rows, _stop_tables_v
 
     p = cfg.penalties
     S, K = cfg.s_cap, cfg.k_win
-    assert supports_prefix(cfg) and not cfg.global_alignment
 
     qlen = qlen.astype(jnp.int32)
     tlen = tlen.astype(jnp.int32)
@@ -1133,6 +1124,29 @@ def pallas_run_prefix(
          lo0, hi0, ex0.astype(jnp.int32),
          lox, hix, exx.astype(jnp.int32), Ak]
         + [jnp.zeros_like(qlen)] * (_NP - 12), axis=0)
+    return params, whi, wlo, fsa64, row0, rowx, Lw2
+
+
+def pallas_run_prefix(
+    qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig, B: int, Lq: int,
+    Ltb: int, VW: int, interpret: bool = False,
+):
+    """Run the full-span semi-global prefix (scores 0..s_cap-2) on the
+    wide kernel and export the handoff state (EXPORT mode).
+
+    Stop tables are v-space (engine._stop_tables_v): during the wide
+    prefix every diagonal's progress clusters below VW, where a c-space
+    window would outrun on the seed row.  Returns
+    (out [8, B], aux [3, Sa, K, Bp] pairs-on-lanes with rows 0..s_cap-2
+    valid, state [TOT, Bp], Bp) — out rows are final_s, done, overflow,
+    end_found, term_cell, end_s, end_k, end_cell.
+    """
+    p = cfg.penalties
+    S, K = cfg.s_cap, cfg.k_win
+    assert supports_prefix(cfg) and not cfg.global_alignment
+
+    params, whi, wlo, fsa64, row0, rowx, Lw2 = _prefix_inputs(
+        qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb, VW=VW)
 
     bb = B_BLK  # hardware lane blocks must be 128-wide
     if interpret:

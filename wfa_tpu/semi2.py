@@ -223,8 +223,16 @@ def prefix_export_kernel_impl(
 
     Same export dict as :func:`prefix_export_impl`, except ``aux_old``
     is pairs-on-lanes ([3, Sa, Kf, Bp] — phase 2 must pass
-    ``old_lanes=True``)."""
+    ``old_lanes=True``).
+
+    Dispatch: the chunked kernel (pallas_prefix, [KC, 128] tiles — fast
+    Mosaic compile, main-kernel tile efficiency) whenever its penalty
+    gate holds; the whole-K EXPORT kernel otherwise."""
     from .pallas_engine import pallas_run_prefix
+    from .pallas_prefix import (
+        pallas_run_prefix_chunked,
+        supports_prefix_chunked,
+    )
 
     p = cfg.penalties
     WM = max(p.mismatch, p.gap_open + p.gap_ext) + 1
@@ -233,7 +241,9 @@ def prefix_export_kernel_impl(
     Kf = cfg.k_win
     kcfg = dataclasses.replace(cfg, s_cap=S0 + 1)
     VW = max(128, min(1024, Lq))
-    out, aux_old, state, Bp = pallas_run_prefix(
+    run = (pallas_run_prefix_chunked if supports_prefix_chunked(kcfg)
+           else pallas_run_prefix)
+    out, aux_old, state, Bp = run(
         qb, tbuf, qlen, tlen, toff, cfg=kcfg, B=B, Lq=Lq, Ltb=Ltb, VW=VW,
         interpret=jax.default_backend() == "cpu")
 
