@@ -375,3 +375,33 @@ def test_semi2_pipeline_under_mesh():
         assert res.cigar(False) == ref.cigar(False), (q, t)
         assert (res.align_len, res.matches, res.gaps, res.gap_regions) == (
             ref.align_len, ref.matches, ref.gaps, ref.gap_regions)
+
+
+@pytest.mark.skipif(
+    jax.device_count() < 4, reason="needs 4 (virtual) devices"
+)
+def test_semi2_kernel_prefix_under_mesh(monkeypatch):
+    """The Pallas prefix kernel under shard_map (WFA_SEMI2_KERNEL_PREFIX=1
+    + mesh): phase 1 runs the chunked kernel per shard, aux_old rides
+    pairs-on-lanes through the dp specs, phase 2 resumes with
+    old_lanes — bit-exact vs the oracle."""
+    from wfa_tpu import (AdaptiveReductionOption, Options, OracleAligner,
+                         Penalties)
+    from wfa_tpu.datagen import generate_pairs
+    from wfa_tpu.pipeline import AlignmentPipeline, PipelineConfig
+
+    monkeypatch.setenv("WFA_SEMI2_KERNEL_PREFIX", "1")
+    cfg = PipelineConfig(
+        penalties=Penalties(4, 6, 2), options=Options(False),
+        adaptive=AdaptiveReductionOption(10, 50, 1), batch_size=9,
+        n_devices=4)
+    pipe = AlignmentPipeline(cfg)
+    pairs = generate_pairs(9, 300, 0.05, seed=29)
+    results = pipe.align_all(pairs)
+    assert any(k[3].startswith("semi2") for k in pipe._engines), (
+        "mesh pipeline never used the two-phase semi-global path")
+    oracle = OracleAligner(cfg.penalties, cfg.options, cfg.adaptive)
+    for (q, t), res in zip(pairs, results):
+        ref = oracle.align(q, t)
+        assert res.score == ref.score, (q, t)
+        assert res.cigar(False) == ref.cigar(False), (q, t)

@@ -1470,8 +1470,7 @@ class BatchAligner:
         from .pallas_engine import supports_prefix
 
         use_kernel = (os.environ.get("WFA_SEMI2_KERNEL_PREFIX") == "1"
-                      and supports_prefix(self.cfg)
-                      and self.mesh is None)
+                      and supports_prefix(self.cfg))
         # v-shear table + FULL-table reads: measured fastest XLA prefix
         # (322 ms vs 368 c-space vs 594 anchored-window at B=944 l=1k —
         # the per-step dynamic-slice of a window costs more than reading
@@ -1487,7 +1486,7 @@ class BatchAligner:
                      else (jnp.asarray(seq), jnp.asarray(lens)))
             exports = dp_semi2_prefix_fn(
                 pcfg, self.mesh, B, Lq, Ltb, self.s_switch,
-                self.cfg.k_win, packed)(*args1)
+                self.cfg.k_win, packed, use_kernel)(*args1)
         else:
             exports = prefix_export2(
                 jnp.asarray(seq), jnp.asarray(lens), cfg=pcfg, B=B, Lq=Lq,
@@ -1533,7 +1532,7 @@ class BatchAligner:
 
             out = dp_semi2_phase2_fn(
                 self.cfg, self.mesh, B, Lq, Ltb, Ltb2, self.s_switch,
-                packed2)(*p2_args)
+                packed2, old_lanes=use_kernel)(*p2_args)
         else:
             out = phase2(
                 *p2_args, cfg=self.cfg, B=B, Lq=Lq, Ltb_full=Ltb,

@@ -178,14 +178,16 @@ _SEMI2_EXPORT_SPECS = {
 
 
 def dp_semi2_prefix_fn(cfg: EngineConfig, mesh: Mesh, B: int, Lq: int,
-                       Ltb: int, S0: int, K2: int, packed: bool):
+                       Ltb: int, S0: int, K2: int, packed: bool,
+                       use_kernel: bool = False):
     """Cached jitted data-parallel phase-1 exporter (wfa_tpu.semi2):
     each device runs the full-span prefix on its batch shard and emits
     the batch-sharded handoff dict.  Host mid-point work (window fetch,
     target re-placement) is untouched — it already operates on the
-    whole batch.  XLA exporter only (the kernel EXPORT mode stays
-    single-device)."""
-    key = ("prefix", cfg, mesh, B, Lq, Ltb, S0, K2, packed)
+    whole batch.  ``use_kernel`` runs the Pallas prefix kernel per
+    shard (aux_old then rides pairs-on-lanes: batch on the LAST axis,
+    possibly lane-padded per shard — phase 2 must get old_lanes)."""
+    key = ("prefix", cfg, mesh, B, Lq, Ltb, S0, K2, packed, use_kernel)
     fn = _DP_SEMI2_CACHE.get(key)
     if fn is not None:
         return fn
@@ -193,15 +195,18 @@ def dp_semi2_prefix_fn(cfg: EngineConfig, mesh: Mesh, B: int, Lq: int,
 
     lb = B // mesh.devices.size
     assert B % mesh.devices.size == 0
+    out_specs = dict(_SEMI2_EXPORT_SPECS)
+    if use_kernel:
+        out_specs["aux_old"] = P(None, None, None, "dp")
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(P("dp"), P("dp")),
-        out_specs=_SEMI2_EXPORT_SPECS, check_vma=False,
+        out_specs=out_specs, check_vma=False,
     )
     def _sharded(seq_s, lens_s):
         return _prefix_export2_impl(
             seq_s, lens_s, cfg=cfg, B=lb, Lq=Lq, Ltb=Ltb, S0=S0, K2=K2,
-            packed=packed, use_kernel=False)
+            packed=packed, use_kernel=use_kernel)
 
     fn = jax.jit(_sharded)
     _DP_SEMI2_CACHE[key] = fn
@@ -209,11 +214,15 @@ def dp_semi2_prefix_fn(cfg: EngineConfig, mesh: Mesh, B: int, Lq: int,
 
 
 def dp_semi2_phase2_fn(cfg: EngineConfig, mesh: Mesh, B: int, Lq: int,
-                       Ltb_full: int, Ltb2: int, S0: int, packed: bool):
+                       Ltb_full: int, Ltb2: int, S0: int, packed: bool,
+                       old_lanes: bool = False):
     """Cached jitted data-parallel phase-2 resume: the narrow-window
     kernel + dual-aux backtrace runs per shard on the re-placed targets;
-    outputs match :func:`dp_align_full_fn`'s sharded layout."""
-    key = ("phase2", cfg, mesh, B, Lq, Ltb_full, Ltb2, S0, packed)
+    outputs match :func:`dp_align_full_fn`'s sharded layout.
+    ``old_lanes``: aux_old came from the kernel prefix (pairs-on-lanes,
+    batch on the last axis)."""
+    key = ("phase2", cfg, mesh, B, Lq, Ltb_full, Ltb2, S0, packed,
+           old_lanes)
     fn = _DP_SEMI2_CACHE.get(key)
     if fn is not None:
         return fn
@@ -228,12 +237,13 @@ def dp_semi2_phase2_fn(cfg: EngineConfig, mesh: Mesh, B: int, Lq: int,
     else:
         tok_specs = {"tok0": P("dp"), "buf": P(None, "dp", None),
                      "tail": P("dp")}
+    aux_spec = (P(None, None, None, "dp") if old_lanes
+                else _SEMI2_EXPORT_SPECS["aux_old"])
     in_specs = (P("dp"), P("dp"),
                 _SEMI2_EXPORT_SPECS["win_m"], _SEMI2_EXPORT_SPECS["win_i"],
                 _SEMI2_EXPORT_SPECS["win_d"], _SEMI2_EXPORT_SPECS["ainit"],
                 _SEMI2_EXPORT_SPECS["b_m"], _SEMI2_EXPORT_SPECS["b_ie"],
-                _SEMI2_EXPORT_SPECS["meta1"],
-                _SEMI2_EXPORT_SPECS["aux_old"])
+                _SEMI2_EXPORT_SPECS["meta1"], aux_spec)
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=in_specs,
@@ -244,7 +254,7 @@ def dp_semi2_phase2_fn(cfg: EngineConfig, mesh: Mesh, B: int, Lq: int,
         return _phase2_impl(
             seq2_s, lens2_s, wm_s, wi_s, wd_s, ai_s, bm_s, bie_s, m1_s,
             ao_s, cfg=cfg, B=lb, Lq=Lq, Ltb_full=Ltb_full, Ltb2=Ltb2,
-            S0=S0, packed=packed, old_lanes=False)
+            S0=S0, packed=packed, old_lanes=old_lanes)
 
     fn = jax.jit(_sharded)
     _DP_SEMI2_CACHE[key] = fn
