@@ -235,11 +235,12 @@ def test_prefix_chunked_matches_whole_k(l, e, B, KC):
     for b in range(B):
         # aux rows are defined up to each pair's exit score; exported
         # state is a don't-care for pairs that finished in the prefix
+        # (skip phase 2) or overflowed (retry a wider tier)
         smax = int(fs[b]) + 1 if done[b] and not ovf[b] else S0
         np.testing.assert_array_equal(
             aux_w[:, :smax, :, b], aux_c[:, :smax, :, b],
             err_msg=f"aux pair {b}")
-        if not done[b]:
+        if not done[b] and not ovf[b]:
             np.testing.assert_array_equal(state_w[:, b], state_c[:, b],
                                           err_msg=f"state pair {b}")
 

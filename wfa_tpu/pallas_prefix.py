@@ -36,7 +36,16 @@ is executed:
   end finder's nearest-stop scan, the trim fold's first-good/last-mark
   pair) carry ``[1, BB]`` partials through the fori_loop — the marked-
   run fold exploits ascending chunk order for the reference's
-  "contiguous leading run" rule (wfa.go:499-516).
+  "contiguous leading run" rule (wfa.go:499-516);
+* the chunk loops run DYNAMIC bounds — only the chunks overlapping the
+  union of the step's live bands (all lanes) execute, so once
+  wf-adaptive collapses the band a step costs ~1 chunk instead of
+  K/KC.  Skipped chunks keep stale window rows; every internal read
+  band-masks, the per-score obuf rows are bulk-zeroed before staging,
+  and the final EXPORT masks each dumped slot by its band so the
+  zero-outside-band invariant holds for phase-2 consumers.  Exported
+  state for pairs that finished or overflowed inside the prefix is a
+  don't-care (they skip phase 2 / retry a wider tier).
 
 The penalty gate (supports_prefix_chunked) requires x, e, o+e >= 2 —
 degenerate penalties keep the whole-K kernel (reference order).
@@ -284,6 +293,44 @@ def _kernel(
         lo_m_olds = mb_lo[pl.ds(slot_s2, 1)]
         hi_m_olds = mb_hi[pl.ds(slot_s2, 1)]
 
+        # ---- dynamic chunk bounds: only the live band's chunks run.
+        # Rows outside them keep stale window data, which every read
+        # masks away by the per-score band bounds; the obuf rows for
+        # skipped chunks are bulk-zeroed in pass B2.  j = k + toff.
+        ex_any = ex_xs | ex_os | ex_ies | ex_des
+        m_s = ex_ms & live0
+        m_n = live_nx & ex_any
+        jlo_s = jnp.where(m_s, lo_ms + toff, _BIG)
+        jhi_s = jnp.where(m_s, hi_ms + toff, -_BIG)
+        jlo_n = jnp.where(m_n, lo_n + toff, _BIG)
+        jhi_n = jnp.where(m_n, hi_n + toff, -_BIG)
+
+        def crange(jlo, jhi):
+            lo = jnp.min(jlo)
+            hi = jnp.max(jhi)
+            c0 = lax.div(jnp.clip(lo, 0, K - 1), KC)
+            c1 = lax.div(jnp.clip(hi, 0, K - 1), KC)
+            c1 = jnp.where(hi < lo, c0 - 1, c1)  # empty: upper < lower
+            return c0, c1
+
+        ca0, ca1 = crange(jnp.minimum(jlo_s, jlo_n),
+                          jnp.maximum(jhi_s, jhi_n))
+        cb0, cb1 = crange(jlo_s, jhi_s)
+        # the X seed row spans every diagonal: band(s2==X) widens to the
+        # full span in the finalization below, so this step's next-aux
+        # staging (read back by pass B2 at s==X) must cover all chunks
+        ca0 = jnp.where(at_seed, 0, ca0)
+        ca1 = jnp.where(at_seed, NC - 1, ca1)
+
+        # reset the s2 band slots (pass A merges chunk extents into them)
+        e1 = jnp.full((1, BB), _BIG, jnp.int32)
+        ib_lo[pl.ds(slot_s2e, 1)] = e1
+        ib_hi[pl.ds(slot_s2e, 1)] = -e1
+        db_lo[pl.ds(slot_s2e, 1)] = e1
+        db_hi[pl.ds(slot_s2e, 1)] = -e1
+        mb_lo[pl.ds(slot_s2, 1)] = e1
+        mb_hi[pl.ds(slot_s2, 1)] = -e1
+
         # ---- pass A: next(s+1) + extend + termination/dmin partials --
         if STREAM:
             # anchored v-table window: find this step's live word-group
@@ -306,7 +353,7 @@ def _kernel(
                 return wmn, wmx
 
             wmn, wmx = lax.fori_loop(
-                0, NC, w2_range, (jnp.int32(Lw2), jnp.int32(-1)))
+                cb0, cb1 + 1, w2_range, (jnp.int32(Lw2), jnp.int32(-1)))
             wmin = jnp.clip(wmn, 0, Lw2 - WV)
             refill = wmx >= wbase + WV
 
@@ -502,26 +549,24 @@ def _kernel(
                 dist = jnp.maximum(tlen - hs, qlen - vs2)
                 dmin_acc = jnp.minimum(dmin_acc, smin(dist, okd))
 
-            # fold the next-band partials into the s2 band slots (first
-            # chunk resets them; later chunks merge)
-            first = ci == 0
-            old_li = jnp.where(first, _BIG, ib_lo[pl.ds(slot_s2e, 1)])
-            old_hi_ = jnp.where(first, -_BIG, ib_hi[pl.ds(slot_s2e, 1)])
-            ib_lo[pl.ds(slot_s2e, 1)] = jnp.minimum(old_li, lo_i_c)
-            ib_hi[pl.ds(slot_s2e, 1)] = jnp.maximum(old_hi_, hi_i_c)
-            old_ld = jnp.where(first, _BIG, db_lo[pl.ds(slot_s2e, 1)])
-            old_hd = jnp.where(first, -_BIG, db_hi[pl.ds(slot_s2e, 1)])
-            db_lo[pl.ds(slot_s2e, 1)] = jnp.minimum(old_ld, lo_d_c)
-            db_hi[pl.ds(slot_s2e, 1)] = jnp.maximum(old_hd, hi_d_c)
-            old_lm = jnp.where(first, _BIG, mb_lo[pl.ds(slot_s2, 1)])
-            old_hm = jnp.where(first, -_BIG, mb_hi[pl.ds(slot_s2, 1)])
-            mb_lo[pl.ds(slot_s2, 1)] = jnp.minimum(old_lm, lo_m_c)
-            mb_hi[pl.ds(slot_s2, 1)] = jnp.maximum(old_hm, hi_m_c)
+            # merge the next-band partials into the (pre-reset) s2 slots
+            ib_lo[pl.ds(slot_s2e, 1)] = jnp.minimum(
+                ib_lo[pl.ds(slot_s2e, 1)], lo_i_c)
+            ib_hi[pl.ds(slot_s2e, 1)] = jnp.maximum(
+                ib_hi[pl.ds(slot_s2e, 1)], hi_i_c)
+            db_lo[pl.ds(slot_s2e, 1)] = jnp.minimum(
+                db_lo[pl.ds(slot_s2e, 1)], lo_d_c)
+            db_hi[pl.ds(slot_s2e, 1)] = jnp.maximum(
+                db_hi[pl.ds(slot_s2e, 1)], hi_d_c)
+            mb_lo[pl.ds(slot_s2, 1)] = jnp.minimum(
+                mb_lo[pl.ds(slot_s2, 1)], lo_m_c)
+            mb_hi[pl.ds(slot_s2, 1)] = jnp.maximum(
+                mb_hi[pl.ds(slot_s2, 1)], hi_m_c)
             return term_acc, dmin_acc, outrun_now
 
         z1 = jnp.zeros((1, BB), jnp.int32)
         term_acc, dmin, outrun_now = lax.fori_loop(
-            0, NC, pass_a,
+            ca0, ca1 + 1, pass_a,
             (z1, jnp.full((1, BB), _BIG, jnp.int32), z1))
 
         # finalize the s2 bands: freeze/any semantics as run_next.
@@ -612,7 +657,7 @@ def _kernel(
 
             (fg_found, first_good, last_mark, last_good,
              any_marked) = lax.fori_loop(
-                0, NC, pass_b1,
+                cb0, cb1 + 1, pass_b1,
                 (z1, jnp.full((1, BB), _BIG, jnp.int32),
                  jnp.full((1, BB), -_BIG, jnp.int32),
                  jnp.full((1, BB), -_BIG, jnp.int32), z1))
@@ -650,6 +695,13 @@ def _kernel(
         oslot = lax.rem(c, 2)
         slot_sa = lax.rem(s, 2)
         wrote = live0
+        # bulk-zero this score's obuf rows: chunks pass B2 skips must
+        # stream absent (0) cells, not stale data from two scores ago
+        zK = jnp.zeros((K, BB), cell_dtype)
+        obase0 = (oslot * CH + och) * K
+        ob_m[pl.ds(obase0, K)] = zK
+        ob_i[pl.ds(obase0, K)] = zK
+        ob_d[pl.ds(obase0, K)] = zK
 
         def pass_b2(ci, acc):
             (k_dn, succ_dn, cell_dn, k_up, succ_up, cell_up) = acc
@@ -725,7 +777,7 @@ def _kernel(
             return (k_dn, succ_dn, cell_dn, k_up, succ_up, cell_up)
 
         (k_dn, succ_dn, cell_dn, k_up, succ_up, cell_up) = lax.fori_loop(
-            0, NC, pass_b2,
+            cb0, cb1 + 1, pass_b2,
             (jnp.full((1, BB), -_BIG, jnp.int32), z1, z1,
              jnp.full((1, BB), _BIG, jnp.int32), z1, z1))
         newly_e = live0 & (end_found == 0) & ((succ_dn > 0)
@@ -785,6 +837,38 @@ def _kernel(
          term_cell, end_s, end_k, end_cell], axis=0)
     out_ref[:] = res
     sae = (S - 1) % 2
+
+    # Re-establish the zero-outside-band invariant on the dumped rows:
+    # chunks the dynamic bounds skipped hold stale cells from WM (resp.
+    # WE) scores ago, and downstream consumers — the RESUME kernel's
+    # fused end finder, the aux mirror — rely on absent == 0.  Inside
+    # this kernel every read band-masks, so masking once here suffices.
+    def mask_slot(win, slot, lo_r, hi_r, ex_r):
+        lo = lo_r[pl.ds(slot, 1)]
+        hi = hi_r[pl.ds(slot, 1)]
+        ex = ex_r[pl.ds(slot, 1)] > 0
+        for ci in range(NC):
+            b0 = ci * KC
+            ks_c = k0 + b0 + iota_c
+            row = drow(win, slot, b0)
+            keep = ex & (ks_c >= lo) & (ks_c <= hi)
+            dwrite(win, slot, b0, jnp.where(keep, row, 0))
+
+    for r in range(WM):
+        mask_slot(m_win, r, mb_lo, mb_hi, mb_ex)
+    for r in range(WE):
+        mask_slot(i_win, r, ib_lo, ib_hi, ib_ex)
+        mask_slot(d_win, r, db_lo, db_hi, db_ex)
+    # aux mirrors cell existence exactly: mask the exported ainit rows
+    # (score S-1) by that score's just-masked cells
+    for aw, cw, slot_c in ((am_win, m_win, (S - 1) % WM),
+                           (ai_win, i_win, (S - 1) % WE),
+                           (ad_win, d_win, (S - 1) % WE)):
+        for ci in range(NC):
+            b0 = ci * KC
+            cell = drow(cw, slot_c, b0)
+            a = aw[pl.ds(sae * K + b0, KC)]
+            aw[pl.ds(sae * K + b0, KC)] = jnp.where(cell != 0, a, 0)
     o = 0
     for r, n in ((mb_lo, WM), (mb_hi, WM), (mb_ex, WM),
                  (ib_lo, WE), (ib_hi, WE), (ib_ex, WE),
