@@ -299,3 +299,46 @@ def test_engine_vwin_qlen_at_buffer_edge():
                                   np.asarray(st_v.hist_m))
     np.testing.assert_array_equal(np.asarray(st_c.aux_m),
                                   np.asarray(st_v.aux_m))
+
+
+@pytest.mark.parametrize("pen", [Penalties(2, 0, 2), Penalties(3, 5, 2),
+                                 Penalties(6, 2, 3)])
+def test_prefix_chunked_penalty_variants(pen):
+    """Chunked-vs-whole-K parity across penalty shapes (different WM/WE
+    window depths, gap-ext ties, and o=0 open==ext aliasing)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from wfa_tpu.engine import BatchAligner
+    from wfa_tpu.pallas_engine import pallas_run_prefix
+    from wfa_tpu.pallas_prefix import (pallas_run_prefix_chunked,
+                                       supports_prefix_chunked)
+
+    eng = BatchAligner(pen, SEMI, ADA, k_win=256, s_cap=256,
+                       engine="semi2:40")
+    pairs = generate_pairs(4, 150, 0.10, seed=3)
+    qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = eng._pack_all(pairs)
+    Kf = ((int((qlen + tlen).max()) + 1 + 127) // 128) * 128
+    args = tuple(jnp.asarray(a) for a in (qb, tbuf, qlen, tlen, toff))
+    S0 = 40
+    kcfg = dataclasses.replace(eng.cfg, k_win=Kf, w_win=None, s_cap=S0 + 1)
+    assert supports_prefix_chunked(kcfg)
+    VW = max(128, min(1024, Lq))
+    out_w, aux_w, state_w, _ = pallas_run_prefix(
+        *args, cfg=kcfg, B=4, Lq=Lq, Ltb=Ltb, VW=VW, interpret=True)
+    out_c, aux_c, state_c, _ = pallas_run_prefix_chunked(
+        *args, cfg=kcfg, B=4, Lq=Lq, Ltb=Ltb, VW=VW, KC=128,
+        interpret=True)
+    out_w, aux_w, state_w = map(np.asarray, (out_w, aux_w, state_w))
+    out_c, aux_c, state_c = map(np.asarray, (out_c, aux_c, state_c))
+    np.testing.assert_array_equal(out_w[:, :4], out_c[:, :4])
+    done = out_w[1, :4] > 0
+    ovf = out_w[2, :4] > 0
+    fs = out_w[0, :4]
+    for b in range(4):
+        smax = int(fs[b]) + 1 if done[b] and not ovf[b] else S0
+        np.testing.assert_array_equal(aux_w[:, :smax, :, b],
+                                      aux_c[:, :smax, :, b])
+        if not done[b] and not ovf[b]:
+            np.testing.assert_array_equal(state_w[:, b], state_c[:, b])
