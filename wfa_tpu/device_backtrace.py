@@ -215,7 +215,7 @@ def device_backtrace(
     token_shift: int = 28, b_stride: int = 0,
     pairs_on_lanes: bool = False,
     aux_old=None, k0_old=None, s_split: int = 0,
-    old_pairs_on_lanes: bool = False, aux_base=None,
+    old_pairs_on_lanes: bool = False, aux_base=None, aux_sbase=None,
 ):
     """Exact device port of the backtrace loop (wfa.go:703-983).
 
@@ -263,6 +263,9 @@ def device_backtrace(
         # (offset0 - base[s,b] + 1); aux_base is [Bp, S]-laid-out
         S_base = aux_base.shape[1]
         base_flat = aux_base.reshape(aux_base.shape[0] * S_base)
+    # row+value-rebased aux (the main kernel's long-read mode): per
+    # score, aux holds a K(=KW)-row window row-based at cb*32 and
+    # value-based at vbase, packed as aux_sbase[s, b] = vbase << 5 | cb
     if aux_old is not None:
         # two-phase handoff (wfa_tpu.semi2): scores below s_split read
         # the phase-1 full-span aux — standard [3, S_old, B, Kf] layout
@@ -280,6 +283,9 @@ def device_backtrace(
         """One-cell aux gather at (s[B], comp[B], k[B]): returns
         (offset0, tag, found)."""
         j = k - k0
+        if aux_sbase is not None:
+            sbv = aux_sbase[jnp.clip(s, 0, S - 1), bidx]
+            j = j - (sbv & 31) * 32
         ok = (s >= s_split) & (s < S) & (j >= 0) & (j < K)
         sc = jnp.clip(s - s_split, 0, Sn - 1)
         jc = jnp.clip(j, 0, K - 1)
@@ -309,6 +315,8 @@ def device_backtrace(
                 base_flat,
                 bidx * S_base + jnp.clip(s, 0, S_base - 1))
             off = jnp.where(found, off - 1 + bs, 0)
+        if aux_sbase is not None:
+            off = jnp.where(found, off - 1 + (sbv >> 5), 0)
         return off, cell & ((1 << TYPE_BITS) - 1), found
 
     # ---- start point (wfa.go:738-750); existence deliberately unchecked.

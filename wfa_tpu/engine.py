@@ -148,6 +148,14 @@ class EngineConfig:
     # window mass-outruns on the seed row; runs reaching the table edge
     # flag overflow.  None = c-space tables (the default).
     v_win: Optional[int] = None
+    # rebased aux history width (fused kernel only): per score the aux
+    # plane stores a KW-row window of the live band (row-based at a
+    # 128-quantized per-lane base, value-based at the row's minimum
+    # offset0 -> int16 cells at any length), shrinking the dominant HBM
+    # stream ~k_win/KW * 2 so 128-lane blocks serve l=50k+ reads.  Pairs
+    # whose band width or offset spread escapes the window overflow and
+    # retry.  None = full-width aux (short reads, where it already fits).
+    aux_kw: Optional[int] = None
 
 
 def window_origin(qlen: int, tlen: int, k_win: int, global_alignment: bool) -> int:
@@ -1018,7 +1026,7 @@ def _align_full_impl(
     if engine == "pallas":
         from .pallas_engine import pallas_run_batch
 
-        final_s, done, overflow, start_cell, aux, b_stride, end = (
+        final_s, done, overflow, start_cell, aux, b_stride, end, sbase = (
             pallas_run_batch(
                 qb, tbuf, qlen, tlen, toff, cfg=cfg, B=B, Lq=Lq, Ltb=Ltb,
                 interpret=jax.default_backend() == "cpu",
@@ -1030,6 +1038,12 @@ def _align_full_impl(
             start_s, start_k = final_s, tlen - qlen
         else:  # the kernel's fused end finder (wfa.go:270-375)
             start_s, start_k, start_cell = end
+        if sbase is not None:
+            return _finish_outputs(
+                aux, start_cell, k0, start_s, start_k, qlen, tlen, done,
+                overflow, cfg=cfg, Lq=Lq, Ltb=Ltb, b_stride=b_stride,
+                pairs_on_lanes=True, aux_sbase=sbase,
+            )
     elif engine == "pallas_long":
         # pairs-on-sublanes long-read kernel: small blocks keep the aux
         # history inside HBM at l=50k+; its aux streams value-rebased
@@ -1084,7 +1098,7 @@ def _finish_outputs(
     aux, start_cell, k0, start_s, start_k, qlen, tlen, done, overflow, *,
     cfg: EngineConfig, Lq: int, Ltb: int, b_stride: int,
     pairs_on_lanes: bool, aux_old=None, k0_old=None, s_split: int = 0,
-    old_pairs_on_lanes: bool = False, aux_base=None,
+    old_pairs_on_lanes: bool = False, aux_base=None, aux_sbase=None,
 ):
     """Device backtrace + stats + token compaction + meta packing —
     shared by the single-phase paths and the two-phase semi-global
@@ -1093,7 +1107,9 @@ def _finish_outputs(
                                    device_stats, iter_capacity)
 
     S = cfg.s_cap
-    K = cfg.k_win
+    # rebased aux (aux_sbase) stores KW-row windows: the backtrace's aux
+    # bounds/stride follow the stored width, not the compute window
+    K = cfg.aux_kw if aux_sbase is not None else cfg.k_win
     active0 = done & ~overflow
     token_shift, compact = _token_plan(S, cfg.penalties, Lq, Ltb)
     tok0, buf, tail, it_used, qb0, qe, tb0, te = device_backtrace(
@@ -1104,6 +1120,7 @@ def _finish_outputs(
         pairs_on_lanes=pairs_on_lanes,
         aux_old=aux_old, k0_old=k0_old, s_split=s_split,
         old_pairs_on_lanes=old_pairs_on_lanes, aux_base=aux_base,
+        aux_sbase=aux_sbase,
     )
     align_len, matches, gaps, gap_regions = device_stats(
         tok0, buf, tail, token_shift)
@@ -1197,17 +1214,30 @@ class BatchAligner:
             # band has collapsed for this tier's workload)
             self.s_switch = int(engine.split(":", 1)[1])
             engine = "semi2"
-        elif engine == "auto":
+        elif engine.startswith("pallas:kw"):
+            # fused kernel with rebased aux history: "pallas:kw<KW>"
+            # stores per score only a KW-row window of the live band —
+            # the long-read main-kernel mode (see EngineConfig.aux_kw)
+            self.cfg = dataclasses.replace(
+                self.cfg, aux_kw=int(engine[len("pallas:kw"):]))
+            engine = "pallas"
+        elif engine.startswith("auto"):
             # fused Pallas kernel on real accelerators when the config
             # fits its windows; interpret-mode Pallas is far too slow for
-            # the CPU path, so fall back to the XLA lockstep engine there
+            # the CPU path, so fall back to the XLA lockstep engine there.
+            # "auto:kw<KW>" adds rebased aux on the kernel path (ignored
+            # by the XLA fallback, which has no 128-lane aux problem).
             from .pallas_engine import supports
 
-            engine = (
-                "pallas"
-                if supports(self.cfg, 0) and jax.default_backend() != "cpu"
-                else "jax"
-            )
+            kw = (int(engine[len("auto:kw"):])
+                  if engine.startswith("auto:kw") else 0)
+            if supports(self.cfg, 0) and jax.default_backend() != "cpu":
+                engine = "pallas"
+                if kw:
+                    self.cfg = dataclasses.replace(
+                        self.cfg, aux_kw=min(kw, k_win))
+            else:
+                engine = "jax"
         self.engine = engine
         # data-parallel device mesh (wfa_tpu.parallel.make_dp_mesh):
         # batches shard over its 1-D dp axis; None = single device

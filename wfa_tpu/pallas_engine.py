@@ -96,18 +96,29 @@ def _kernel(
     *refs,
     S, K, Lw2, WV, BB, CH, X, OE, E, GLOBAL, REDUCE_ON, MIN_WF_LEN,
     MAX_DIST_DIFF, CELL16, RESUME=None, VSPACE=False, EXPORT=False,
+    KW=0,
 ):
     # RESUME=S0 runs the loop from score S0 with imported state (the
     # two-phase semi-global handoff, wfa_tpu.semi2) instead of seeding;
     # EXPORT stops at score S-1 and dumps the VMEM windows/bands (the
     # phase-1 side of the same handoff); VSPACE indexes the stop tables
     # by query progress v instead of buffer column (engine._stop_tables_v
-    # — the full-span prefix's lookups only cluster in v-space).  The
-    # in/out ref list differs between the modes, hence *refs.
-    state_ref = None
+    # — the full-span prefix's lookups only cluster in v-space).  KW>0
+    # streams REBASED aux history: per score only a KW-row window of the
+    # live band, row-based at a per-lane 32-quantized base cb and
+    # value-based at the row's minimum live offset0 (int16 cells at any
+    # length); (vbase << 5 | cb) rides the sbase_ref output for the
+    # backtrace's index/value translation.  The in/out ref list differs
+    # between the modes, hence *refs.
+    assert not (KW and (EXPORT or RESUME is not None))
+    state_ref = sbase_ref = None
     if RESUME is None and not EXPORT:
-        (params_ref, whi_ref, wlo_ref, fsa_ref, seed0_ref, seedx_ref,
-         out_ref, aux_ref, *scr) = refs
+        if KW:
+            (params_ref, whi_ref, wlo_ref, fsa_ref, seed0_ref, seedx_ref,
+             out_ref, aux_ref, sbase_ref, *scr) = refs
+        else:
+            (params_ref, whi_ref, wlo_ref, fsa_ref, seed0_ref, seedx_ref,
+             out_ref, aux_ref, *scr) = refs
         minit_ref = iinit_ref = dinit_ref = ainit_ref = binit_ref = None
     elif EXPORT:
         (params_ref, whi_ref, wlo_ref, fsa_ref, seed0_ref, seedx_ref,
@@ -120,8 +131,9 @@ def _kernel(
     (m_win, i_win, d_win, am_win, ai_win, ad_win,
      mb_lo, mb_hi, mb_ex, ib_lo, ib_hi, ib_ex, db_lo, db_hi, db_ex,
      ob_m, ob_i, ob_d, sem, twhi, twlo, tfsa, tsem, *scr_extra) = scr
-    st_sem = scr_extra[0] if scr_extra else None
-    bscr = scr_extra[1] if len(scr_extra) > 1 else None
+    st_sem = scr_extra[0] if EXPORT else None
+    bscr = scr_extra[1] if EXPORT else None
+    sb_ob = scr_extra[0] if KW else None
     S0 = RESUME or 0
     C0 = S0 // CH  # aux_ref rows cover scores S0..S-1 (offset C0 chunks)
     cell_dtype = jnp.int16 if CELL16 else jnp.int32
@@ -242,14 +254,24 @@ def _kernel(
 
     def hist_dma(comp, ob, c):
         # destination: component plane `comp` of the combined backtrace
-        # aux tensor [3, S - S0, K, Bp] (offset0 << 3 | tag per cell);
-        # chunk indices are absolute, rows offset by the resume score
+        # aux tensor [3, S - S0, K(or KW), Bp] (offset0 << 3 | tag per
+        # cell, rebased when KW); chunk indices are absolute, rows
+        # offset by the resume score
         slot = lax.rem(c, 2)
         return pltpu.make_async_copy(
             ob.at[slot],
             aux_ref.at[comp, pl.ds((c - C0) * CH, CH), :,
                        pl.ds(blk * BB, BB)],
             sem.at[slot, comp],
+        )
+
+    def sbase_dma(c):
+        # per-score rebase words (vbase << 5 | cb) -> sbase_ref [S, Bp]
+        slot = lax.rem(c, 2)
+        return pltpu.make_async_copy(
+            sb_ob.at[slot],
+            sbase_ref.at[pl.ds(c * CH, CH), pl.ds(blk * BB, BB)],
+            sem.at[slot, 3],
         )
 
     def table_dma(idx, src_ref, dst_ref, base):
@@ -501,6 +523,8 @@ def _kernel(
             hist_dma(0, ob_m, c - 2).wait()
             hist_dma(1, ob_i, c - 2).wait()
             hist_dma(2, ob_d, c - 2).wait()
+            if KW:
+                sbase_dma(c - 2).wait()
 
         if REORDER:
             # a pair that terminates at s harmlessly writes s+1 rows
@@ -745,18 +769,86 @@ def _kernel(
         am = am_win[pl.ds(slot_sa * K, K)]
         ai = ai_win[pl.ds(slot_sa * K, K)]
         ad = ad_win[pl.ds(slot_sa * K, K)]
-        ob_m[pl.ds(oslot, 1), pl.ds(och, 1)] = jnp.where(
-            wrote & (row_m != 0), am, 0).astype(cell_dtype)[None, None]
-        ob_i[pl.ds(oslot, 1), pl.ds(och, 1)] = jnp.where(
-            wrote & (row_i != 0), ai, 0).astype(cell_dtype)[None, None]
-        ob_d[pl.ds(oslot, 1), pl.ds(och, 1)] = jnp.where(
-            wrote & (row_d != 0), ad, 0).astype(cell_dtype)[None, None]
+        a_m = jnp.where(wrote & (row_m != 0), am, 0)
+        a_i = jnp.where(wrote & (row_i != 0), ai, 0)
+        a_d = jnp.where(wrote & (row_d != 0), ad, 0)
+        if KW:
+            # rebased aux: keep only a KW-row window per score.  Window
+            # base = the post-reduce M/I/D band union's first row,
+            # 32-quantized (cb); values rebase to the row's minimum
+            # live offset0 (vbase) so cells are int16 at any length —
+            # longread's trick (pallas_longread.py:623-657) with an
+            # explicit spread check instead of trust.  Pairs whose band
+            # width or offset spread escapes the window overflow and
+            # retry a wider tier.
+            lo_u = jnp.full((1, BB), _BIG, jnp.int32)
+            hi_u = jnp.full((1, BB), -_BIG, jnp.int32)
+            anyb = jnp.zeros((1, BB), bool)
+            for lo_r, hi_r, ex_r, sl in ((mb_lo, mb_hi, mb_ex, slot_s),
+                                         (ib_lo, ib_hi, ib_ex, slot_se),
+                                         (db_lo, db_hi, db_ex, slot_se)):
+                exc = ex_r[pl.ds(sl, 1)] > 0
+                lo_u = jnp.where(exc, jnp.minimum(
+                    lo_u, lo_r[pl.ds(sl, 1)]), lo_u)
+                hi_u = jnp.where(exc, jnp.maximum(
+                    hi_u, hi_r[pl.ds(sl, 1)]), hi_u)
+                anyb = anyb | exc
+            jlo = lo_u - k0
+            jhi = hi_u - k0
+            # 32-row base quantum: sublane-tile aligned, <= 31 so the
+            # base fits sbase's low 5 bits, and only 31 rows of window
+            # budget lost to rounding
+            cb = jnp.clip(lax.div(jlo, 32), 0, (K - KW) // 32)
+            cb = jnp.where(anyb, cb, 0)
+
+            def vext(a, mi):
+                v = a >> TYPE_BITS
+                fill = _BIG if mi else -_BIG
+                red_ = jnp.min if mi else jnp.max
+                return red_(jnp.where(a > 0, v, fill), axis=0,
+                            keepdims=True)
+
+            vb = jnp.minimum(jnp.minimum(vext(a_m, True), vext(a_i, True)),
+                             vext(a_d, True))
+            vmx = jnp.maximum(jnp.maximum(vext(a_m, False),
+                                          vext(a_d, False)),
+                              vext(a_i, False))
+            vb = jnp.maximum(jnp.where(vb >= _BIG, 0, vb), 0)
+            escape = anyb & wrote & (
+                ((jhi - cb * 32) >= KW) | ((vmx - vb + 1) > 4095))
+            overflow = jnp.where(escape, 1, overflow)
+
+            def reb(a):
+                v = (a >> TYPE_BITS) - vb + 1
+                a2 = jnp.where(a > 0, (v << TYPE_BITS) | (a & 7), 0)
+                bit = 0
+                while (32 << bit) <= (K - KW):
+                    amt = 32 << bit
+                    sh = jnp.concatenate(
+                        [a2[amt:], jnp.zeros((amt, BB), a2.dtype)], 0)
+                    a2 = jnp.where(((cb >> bit) & 1) == 1, sh, a2)
+                    bit += 1
+                return a2[:KW]
+
+            a_m = reb(a_m)
+            a_i = reb(a_i)
+            a_d = reb(a_d)
+            sb_ob[pl.ds(oslot, 1), pl.ds(och, 1)] = (
+                (vb << 5) | cb)[None]
+        ob_m[pl.ds(oslot, 1), pl.ds(och, 1)] = a_m.astype(
+            cell_dtype)[None, None]
+        ob_i[pl.ds(oslot, 1), pl.ds(och, 1)] = a_i.astype(
+            cell_dtype)[None, None]
+        ob_d[pl.ds(oslot, 1), pl.ds(och, 1)] = a_d.astype(
+            cell_dtype)[None, None]
 
         @pl.when(lax.rem(s, CH) == CH - 1)
         def _():
             hist_dma(0, ob_m, c).start()
             hist_dma(1, ob_i, c).start()
             hist_dma(2, ob_d, c).start()
+            if KW:
+                sbase_dma(c).start()
 
         if not REORDER:
             overflow = run_next(s, done, overflow, live)
@@ -790,18 +882,24 @@ def _kernel(
         hist_dma(0, ob_m, nchunks - 1).start()
         hist_dma(1, ob_i, nchunks - 1).start()
         hist_dma(2, ob_d, nchunks - 1).start()
+        if KW:
+            sbase_dma(nchunks - 1).start()
 
     @pl.when(nchunks >= C0 + 1)
     def _():
         hist_dma(0, ob_m, nchunks - 1).wait()
         hist_dma(1, ob_i, nchunks - 1).wait()
         hist_dma(2, ob_d, nchunks - 1).wait()
+        if KW:
+            sbase_dma(nchunks - 1).wait()
 
     @pl.when(nchunks >= C0 + 2)
     def _():
         hist_dma(0, ob_m, nchunks - 2).wait()
         hist_dma(1, ob_i, nchunks - 2).wait()
         hist_dma(2, ob_d, nchunks - 2).wait()
+        if KW:
+            sbase_dma(nchunks - 2).wait()
 
     if EXPORT:
         # phase-1 export: still-running pairs continue in phase 2 (no
@@ -960,8 +1058,18 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     WV = wv
     stream = Lw2 > WV
     # 16-bit aux cells when offsets fit 13 bits shrink the dominant
-    # history DMA stream and HBM footprint by half
-    cell16 = Ltb <= 4095
+    # history DMA stream and HBM footprint by half; rebased aux (aux_kw)
+    # is value-rebased, so int16 at ANY length
+    KW = int(cfg.aux_kw or 0)
+    if KW:
+        # rebased aux needs bands that fit a KW window; semi-global's
+        # full-span seed bands never do (every pair would escape)
+        assert cfg.global_alignment, "aux_kw is global-alignment only"
+        assert KW % 128 == 0 and 0 < KW <= K, (KW, K)
+        assert (K - KW) // 32 <= 31  # the base fits sbase's low 5 bits
+        assert Ltb < (1 << 26)  # vbase rides sbase words as vb << 5
+        KW = min(KW, K)
+    cell16 = Ltb <= 4095 or KW > 0
     cell_dtype = jnp.int16 if cell16 else jnp.int32
     kern = functools.partial(
         _kernel, S=S, K=K, Lw2=Lw2, WV=WV, BB=bb, CH=ch,
@@ -971,7 +1079,7 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         REDUCE_ON=cfg.adaptive is not None,
         MIN_WF_LEN=int(cfg.adaptive.min_wf_len) if cfg.adaptive else 0,
         MAX_DIST_DIFF=int(cfg.adaptive.max_dist_diff) if cfg.adaptive else 0,
-        CELL16=cell16,
+        CELL16=cell16, KW=KW,
     )
     if stream:
         table_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
@@ -983,7 +1091,7 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     twv = WV if stream else 1
 
     nblk = Bp // bb
-    out, aux = pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(nblk,),
         in_specs=[
@@ -995,15 +1103,15 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
             pl.BlockSpec((K, bb), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
+    out_specs=[
             pl.BlockSpec((8, bb), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ] + ([pl.BlockSpec(memory_space=pl.ANY)] if KW else []),
         out_shape=[
             jax.ShapeDtypeStruct((8, Bp), jnp.int32),
-            jax.ShapeDtypeStruct((3, S, K, Bp), cell_dtype),
-        ],
+            jax.ShapeDtypeStruct((3, S, KW or K, Bp), cell_dtype),
+        ] + ([jax.ShapeDtypeStruct((S, Bp), jnp.int32)] if KW else []),
         scratch_shapes=[
             pltpu.VMEM((WM * K, bb), jnp.int32),
             pltpu.VMEM((WE * K, bb), jnp.int32),
@@ -1020,15 +1128,15 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
             pltpu.VMEM((WE, bb), jnp.int32),
             pltpu.VMEM((WE, bb), jnp.int32),
             pltpu.VMEM((WE, bb), jnp.int32),
-            pltpu.VMEM((2, ch, K, bb), cell_dtype),
-            pltpu.VMEM((2, ch, K, bb), cell_dtype),
-            pltpu.VMEM((2, ch, K, bb), cell_dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((2, ch, KW or K, bb), cell_dtype),
+            pltpu.VMEM((2, ch, KW or K, bb), cell_dtype),
+            pltpu.VMEM((2, ch, KW or K, bb), cell_dtype),
+            pltpu.SemaphoreType.DMA((2, 4 if KW else 3)),
             pltpu.VMEM((twv * K, bb), jnp.int32),
             pltpu.VMEM((twv * K, bb), jnp.int32),
             pltpu.VMEM((twv * K, bb), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
-        ],
+        ] + ([pltpu.VMEM((2, ch, bb), jnp.int32)] if KW else []),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # wide-window kernels (semi-global full-span K) legitimately
@@ -1037,6 +1145,10 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         ),
         interpret=interpret,
     )(params, whi, wlo, fsa64, row0, rowx)
+    if KW:
+        out, aux, sbase = out
+    else:
+        (out, aux), sbase = out, None
 
     final_s = out[0, :B]
     done = out[1, :B] > 0
@@ -1045,7 +1157,7 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     end = (out[5, :B], out[6, :B], out[7, :B])  # semi-global start point
     # aux stays padded to the block multiple — slicing would copy GBs;
     # the backtrace takes the padded lane stride instead
-    return final_s, done, overflow, term_cell, aux, Bp, end
+    return final_s, done, overflow, term_cell, aux, Bp, end, sbase
 
 
 def supports_prefix(cfg: EngineConfig) -> bool:

@@ -136,17 +136,37 @@ class AlignmentPipeline:
         # w_win-word slice per step
         engine = "jax" if (longest > 4096 and tier >= 2) else "auto"
         # the main kernel's 128-lane block minimum makes its aux history
-        # 3*s_cap*k_win*cell*128 bytes even for tiny batches; configs
-        # where that exceeds the HBM budget (very long reads) route to
-        # the pairs-on-sublanes long-read kernel (8-pair blocks), or the
-        # JAX engine where that kernel does not apply
+        # 3*s_cap*k_win*cell*128 bytes even for tiny batches.  Long
+        # global reads rebase the aux stream (EngineConfig.aux_kw): per
+        # score only a 256-row window of the live band, int16 at any
+        # length — 128-lane blocks then serve l=50k+ within budget.
+        # Configs beyond even that (l~100k at high error) route to the
+        # pairs-on-sublanes long-read kernel (8-pair blocks), or the
+        # JAX engine where no kernel applies
         cell_b = 2 if max(lq, lt) + k_win <= 4095 else 4
+        pallas_ok = (engine != "jax" and cfg.options.global_alignment
+                     and k_win <= 512)
+        aux_w = k_win
+        lw = (lq + lt) // 32 + 8
+        # one PADDED 128-lane block's kernel footprint: aux history (int16
+        # when rebased) + the three group-major stop tables (int32, built
+        # once per batch) with a 2x build-transient allowance
+        blk128 = lambda aw, cb: 128 * (3 * s_cap * aw * cb
+                                       + 12 * lw * k_win)
         if 3 * s_cap * k_win * cell_b * 128 > cfg.hbm_budget:
-            if (engine != "jax" and cfg.options.global_alignment
-                    and k_win <= 512):
+            kw = min(256, k_win)
+            if pallas_ok and blk128(kw, 2) <= cfg.hbm_budget:
+                engine = f"auto:kw{kw}"
+                aux_w, cell_b = kw, 2
+            elif pallas_ok:
                 engine = "pallas_long"
             else:
                 engine = "jax"
+        elif pallas_ok and cell_b == 4 and blk128(k_win, 2) <= cfg.hbm_budget:
+            # value-rebase alone (KW == k_win): int16 aux cells halve
+            # the dominant history DMA stream for mid-length reads
+            engine = f"auto:kw{k_win}"
+            cell_b = 2
         if longest <= 4096 and k_win <= 512:
             w_win = None
         elif longest <= 4096:
@@ -160,7 +180,6 @@ class AlignmentPipeline:
             # shrinks their progress spread
             w_win = (128, 256, 512)[min(tier, 2)]
         # bound the batch so one batch's device tensors fit the HBM budget
-        lw = (lq + lt) // 32 + 8
         pallas_likely = engine != "jax" and k_win <= 512
         # aux history dominates: 3 planes x s_cap x k_win cells of 2B
         # (pallas, 16-bit when offsets fit) or, for the JAX engine, six
@@ -184,8 +203,11 @@ class AlignmentPipeline:
             mult, blk = 8, 32
             per_pair = s_cap * k_win * mult + k_win * lw * 24
         elif pallas_likely:
-            mult, blk = (7 if cell16 else 13), 128
-            per_pair = s_cap * k_win * mult + k_win * lw * 24
+            # rebased-aux engines (auto:kw) stream aux_w-row int16 rows
+            mult, blk = (7 if (cell16 or aux_w < k_win
+                               or engine.startswith("auto:kw"))
+                         else 13), 128
+            per_pair = s_cap * aux_w * mult + k_win * lw * 24
         else:
             mult, blk = 40, 32
             per_pair = s_cap * k_win * mult + k_win * lw * 24
