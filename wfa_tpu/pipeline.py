@@ -211,9 +211,16 @@ class AlignmentPipeline:
         else:
             mult, blk = 40, 32
             per_pair = s_cap * k_win * mult + k_win * lw * 24
-        b_cap = max(4, min(8192, int(cfg.hbm_budget // max(per_pair, 1))))
-        if b_cap >= blk:
+        b_cap = int(cfg.hbm_budget // max(per_pair, 1))
+        if (pallas_likely and semi2_s0 is None) or engine == "pallas_long":
+            # the kernels pad to whole blk-lane blocks: a partial block
+            # costs the same HBM as a full one, so count capacity in
+            # blocks (>= 1 — the routing above only picks a kernel whose
+            # single block fits the budget)
+            b_cap = blk * max(1, b_cap // blk)
+        elif b_cap >= blk:
             b_cap -= b_cap % blk  # keep batches a whole number of blocks
+        b_cap = max(4, min(8192, b_cap))
         # device footprint of one ACTUAL batch (pallas pads to 128-lane
         # blocks); big batches must run serially — overlapping them risks
         # HBM OOM
