@@ -58,6 +58,18 @@ def test_rebase_aux_wide_band_escapes():
     assert all(r is None for r in res)
 
 
+def test_rebase_aux_under_shard_map():
+    """The long-read production path on a pod: rebased-aux kernel INSIDE
+    shard_map — the sbase translation must survive the dp gather."""
+    from wfa_tpu.parallel import make_dp_mesh
+
+    eng = BatchAligner(PEN, GLOB, ADA, k_win=256, s_cap=384,
+                       engine="pallas:kw128", mesh=make_dp_mesh(4))
+    oracle = OracleAligner(PEN, GLOB, ADA)
+    pairs = generate_pairs(8, 200, 0.08, seed=13)
+    assert _check(eng, oracle, pairs, allow_none=True) >= 6
+
+
 def test_rebase_aux_value_only_long_offsets():
     """KW == k_win: pure value-rebase — int16 aux cells at lengths far
     past the 13-bit offset limit (the l>4095 pipeline reroute)."""
