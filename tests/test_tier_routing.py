@@ -48,7 +48,9 @@ def test_tiny_budget_falls_to_longread_kernel():
     pipe = AlignmentPipeline(_cfg(hbm_budget=200 << 20))
     _, _, _, b_cap, engine, _ = pipe._tier_caps(50000, 50000, 0)
     assert engine == "pallas_long"
-    assert b_cap >= 32 and b_cap % 32 == 0  # whole 8-pair... 32-pair blocks
+    # sub-block caps stay small (the long-read kernel shrinks its block
+    # size) rather than rounding up past the budget
+    assert b_cap <= 8
 
 
 def test_semi_global_unaffected():

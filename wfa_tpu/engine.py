@@ -150,7 +150,7 @@ class EngineConfig:
     v_win: Optional[int] = None
     # rebased aux history width (fused kernel only): per score the aux
     # plane stores a KW-row window of the live band (row-based at a
-    # 128-quantized per-lane base, value-based at the row's minimum
+    # 32-quantized per-lane base, value-based at the row's minimum
     # offset0 -> int16 cells at any length), shrinking the dominant HBM
     # stream ~k_win/KW * 2 so 128-lane blocks serve l=50k+ reads.  Pairs
     # whose band width or offset spread escapes the window overflow and
@@ -1023,6 +1023,7 @@ def _align_full_impl(
         tbuf = _unpack2(tbuf, Ltb, toff.astype(jnp.int32),
                         (toff + tlen).astype(jnp.int32))
     pairs_on_lanes = False
+    sbase = None  # rebased-aux translation words (pallas aux_kw mode)
     if engine == "pallas":
         from .pallas_engine import pallas_run_batch
 
@@ -1038,12 +1039,6 @@ def _align_full_impl(
             start_s, start_k = final_s, tlen - qlen
         else:  # the kernel's fused end finder (wfa.go:270-375)
             start_s, start_k, start_cell = end
-        if sbase is not None:
-            return _finish_outputs(
-                aux, start_cell, k0, start_s, start_k, qlen, tlen, done,
-                overflow, cfg=cfg, Lq=Lq, Ltb=Ltb, b_stride=b_stride,
-                pairs_on_lanes=True, aux_sbase=sbase,
-            )
     elif engine == "pallas_long":
         # pairs-on-sublanes long-read kernel: small blocks keep the aux
         # history inside HBM at l=50k+; its aux streams value-rebased
@@ -1090,7 +1085,7 @@ def _align_full_impl(
     return _finish_outputs(
         aux, start_cell, k0, start_s, start_k, qlen, tlen, done, overflow,
         cfg=cfg, Lq=Lq, Ltb=Ltb, b_stride=b_stride,
-        pairs_on_lanes=pairs_on_lanes,
+        pairs_on_lanes=pairs_on_lanes, aux_sbase=sbase,
     )
 
 
@@ -1219,7 +1214,7 @@ class BatchAligner:
             # stores per score only a KW-row window of the live band —
             # the long-read main-kernel mode (see EngineConfig.aux_kw)
             self.cfg = dataclasses.replace(
-                self.cfg, aux_kw=int(engine[len("pallas:kw"):]))
+                self.cfg, aux_kw=min(int(engine[len("pallas:kw"):]), k_win))
             engine = "pallas"
         elif engine.startswith("auto"):
             # fused Pallas kernel on real accelerators when the config

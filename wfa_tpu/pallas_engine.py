@@ -1068,7 +1068,6 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         assert KW % 128 == 0 and 0 < KW <= K, (KW, K)
         assert (K - KW) // 32 <= 31  # the base fits sbase's low 5 bits
         assert Ltb < (1 << 26)  # vbase rides sbase words as vb << 5
-        KW = min(KW, K)
     cell16 = Ltb <= 4095 or KW > 0
     cell_dtype = jnp.int16 if cell16 else jnp.int32
     kern = functools.partial(

@@ -37,8 +37,13 @@ class PipelineConfig:
     s_cap_base: int = 256
     k_win_base: int = 128
     # HBM budget for one in-flight batch's wavefront/aux tensors; bounds
-    # the batch size for long sequences (S grows with length)
-    hbm_budget: int = 6 << 30
+    # the batch size for long sequences (S grows with length).  The
+    # sizing models in _tier_caps are cautious (~1.5-2x true peak), so
+    # 9 GiB of model leaves several GiB of true headroom on a 16 GiB
+    # v5e chip; multi-GB batches additionally drain serially.  9 GiB is
+    # what admits the rebased-aux kernel's single 128-lane block at
+    # l=50k tier 0 (7.7 GiB of model) — the l=50k fast path.
+    hbm_budget: int = 9 << 30
     # data parallelism over the local (or, after
     # parallel.initialize_distributed, global) device mesh: 0 = all
     # available devices, 1 = single-device, n = first n devices
@@ -148,21 +153,22 @@ class AlignmentPipeline:
                      and k_win <= 512)
         aux_w = k_win
         lw = (lq + lt) // 32 + 8
-        # one PADDED 128-lane block's kernel footprint: aux history (int16
-        # when rebased) + the three group-major stop tables (int32, built
-        # once per batch) with a 2x build-transient allowance
-        blk128 = lambda aw, cb: 128 * (3 * s_cap * aw * cb
-                                       + 12 * lw * k_win)
+        # per-pair footprint model of the rebased-aux kernel (aux mult 7
+        # carries VMEM/meta slack over the 6 B/cell history; the 24
+        # B/word-cell table term covers the 2x build transient).  The
+        # SAME model sizes b_cap below, so admission here guarantees at
+        # least one whole padded 128-lane block fits the budget.
+        pp_kw = lambda aw: s_cap * aw * 7 + k_win * lw * 24
         if 3 * s_cap * k_win * cell_b * 128 > cfg.hbm_budget:
             kw = min(256, k_win)
-            if pallas_ok and blk128(kw, 2) <= cfg.hbm_budget:
+            if pallas_ok and pp_kw(kw) * 128 <= cfg.hbm_budget:
                 engine = f"auto:kw{kw}"
                 aux_w, cell_b = kw, 2
             elif pallas_ok:
                 engine = "pallas_long"
             else:
                 engine = "jax"
-        elif pallas_ok and cell_b == 4 and blk128(k_win, 2) <= cfg.hbm_budget:
+        elif pallas_ok and cell_b == 4 and pp_kw(k_win) * 128 <= cfg.hbm_budget:
             # value-rebase alone (KW == k_win): int16 aux cells halve
             # the dominant history DMA stream for mid-length reads
             engine = f"auto:kw{k_win}"
@@ -204,23 +210,15 @@ class AlignmentPipeline:
             per_pair = s_cap * k_win * mult + k_win * lw * 24
         elif pallas_likely:
             # rebased-aux engines (auto:kw) stream aux_w-row int16 rows
-            mult, blk = (7 if (cell16 or aux_w < k_win
-                               or engine.startswith("auto:kw"))
+            mult, blk = (7 if (cell16 or engine.startswith("auto:kw"))
                          else 13), 128
             per_pair = s_cap * aux_w * mult + k_win * lw * 24
         else:
             mult, blk = 40, 32
             per_pair = s_cap * k_win * mult + k_win * lw * 24
-        b_cap = int(cfg.hbm_budget // max(per_pair, 1))
-        if (pallas_likely and semi2_s0 is None) or engine == "pallas_long":
-            # the kernels pad to whole blk-lane blocks: a partial block
-            # costs the same HBM as a full one, so count capacity in
-            # blocks (>= 1 — the routing above only picks a kernel whose
-            # single block fits the budget)
-            b_cap = blk * max(1, b_cap // blk)
-        elif b_cap >= blk:
+        b_cap = max(4, min(8192, int(cfg.hbm_budget // max(per_pair, 1))))
+        if b_cap >= blk:
             b_cap -= b_cap % blk  # keep batches a whole number of blocks
-        b_cap = max(4, min(8192, b_cap))
         # device footprint of one ACTUAL batch (pallas pads to 128-lane
         # blocks); big batches must run serially — overlapping them risks
         # HBM OOM
