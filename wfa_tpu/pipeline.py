@@ -12,6 +12,7 @@ bit-identical to the oracle regardless of which tier served them.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Iterable, List, Optional, Sequence, Tuple
 
 from .cigar import AlignmentResult
@@ -43,7 +44,10 @@ class PipelineConfig:
     # v5e chip; multi-GB batches additionally drain serially.  9 GiB is
     # what admits the rebased-aux kernel's single 128-lane block at
     # l=50k tier 0 (7.7 GiB of model) — the l=50k fast path.
-    hbm_budget: int = 9 << 30
+    # WFA_HBM_BUDGET (MiB) overrides, for hardware experiments.
+    hbm_budget: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get(
+            "WFA_HBM_BUDGET", str((9 << 30) >> 20))) << 20)
     # data parallelism over the local (or, after
     # parallel.initialize_distributed, global) device mesh: 0 = all
     # available devices, 1 = single-device, n = first n devices
