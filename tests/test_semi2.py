@@ -194,6 +194,52 @@ def test_semi2_kernel_prefix_end_to_end(monkeypatch):
     assert _check(pairs, results, oracle, allow_none=True) >= 5
 
 
+def test_prefix_kernel_vmem_gate():
+    """Both wide prefix kernels' VMEM scratch scales with the full span
+    Kf (~27 KB/diagonal at 4/6/2): l=1000 spans fit, l>=2000 spans must
+    be rejected so the dispatch falls back to the XLA prefix instead of
+    failing Mosaic's 100 MB scoped-VMEM cap on hardware."""
+    import dataclasses
+
+    from wfa_tpu.engine import BatchAligner
+    from wfa_tpu.pallas_engine import prefix_kernel_fits
+
+    eng = BatchAligner(PEN, SEMI, ADA, k_win=256, s_cap=256,
+                       engine="semi2:48")
+    assert prefix_kernel_fits(eng.cfg, 2176, 1100)       # l=1000
+    assert not prefix_kernel_fits(eng.cfg, 4224, 2200)   # l=2000
+    # int32 aux cells (offsets past the int16 bound) cost more
+    assert not prefix_kernel_fits(eng.cfg, 3456, 5000)
+    # wider penalties widen the circular windows
+    wide = dataclasses.replace(
+        eng.cfg, penalties=Penalties(40, 20, 20))
+    assert not prefix_kernel_fits(wide, 2176, 1100)
+
+
+def test_semi2_kernel_prefix_oversize_falls_back(monkeypatch):
+    """WFA_SEMI2_KERNEL_PREFIX=1 with a span the kernel cannot fit in
+    VMEM must transparently run the XLA prefix (same results), not
+    attempt the kernel."""
+    from wfa_tpu import semi2
+    from wfa_tpu.engine import BatchAligner
+
+    monkeypatch.setenv("WFA_SEMI2_KERNEL_PREFIX", "1")
+    calls = []
+    real = semi2.prefix_export_kernel_impl
+    monkeypatch.setattr(semi2, "prefix_export_kernel_impl",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    # force the size gate shut: the dispatch must choose the XLA prefix
+    import wfa_tpu.pallas_engine as pe
+    monkeypatch.setattr(pe, "prefix_kernel_fits", lambda *a: False)
+    eng = BatchAligner(PEN, SEMI, ADA, k_win=256, s_cap=256,
+                       engine="semi2:40")
+    oracle = OracleAligner(PEN, SEMI, ADA)
+    pairs = generate_pairs(6, 200, 0.05, seed=5)
+    results = eng.align_batch(pairs, fallback=False)
+    assert not calls, "kernel prefix ran despite failing the VMEM gate"
+    assert _check(pairs, results, oracle, allow_none=True) >= 5
+
+
 @pytest.mark.parametrize("l,e,B,KC", [(60, 0.05, 6, 128),
                                       (200, 0.20, 8, 256),
                                       (600, 0.08, 4, 128)])

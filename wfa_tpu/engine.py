@@ -1492,10 +1492,11 @@ class BatchAligner:
         # minutes per process (opt-in for long-lived servers).
         import os
 
-        from .pallas_engine import supports_prefix
+        from .pallas_engine import prefix_kernel_fits, supports_prefix
 
         use_kernel = (os.environ.get("WFA_SEMI2_KERNEL_PREFIX") == "1"
-                      and supports_prefix(self.cfg))
+                      and supports_prefix(self.cfg)
+                      and prefix_kernel_fits(self.cfg, Kf, Ltb))
         # v-shear table + FULL-table reads: measured fastest XLA prefix
         # (322 ms vs 368 c-space vs 594 anchored-window at B=944 l=1k —
         # the per-step dynamic-slice of a window costs more than reading

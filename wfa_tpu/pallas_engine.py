@@ -1168,6 +1168,26 @@ def supports_prefix(cfg: EngineConfig) -> bool:
     return wm <= 64 and p.gap_ext + 1 <= 64
 
 
+def prefix_kernel_fits(cfg: EngineConfig, Kf: int, Ltb: int) -> bool:
+    """VMEM-size gate for BOTH wide prefix kernels (whole-K EXPORT and
+    the chunked variant): their scratch scales linearly with the full
+    span Kf — M/I/D circular windows (WM+2*WE rows of Kf), aux mirrors
+    (6*Kf), obuf staging (12*Kf cells), the streamed v-table window
+    (3*WV*Kf) and the seed-row in-specs (2*Kf), all at 128 lanes.  At
+    the default 4/6/2 penalties that is ~27 KB per diagonal: ~59 MB at
+    Kf=2176 (l=1000, fits) but >110 MB at Kf>=4224 (l>=2000) — over the
+    100 MB Mosaic scoped-VMEM cap, a hardware-only compile failure that
+    interpret-mode tests cannot see.  Callers fall back to the XLA
+    full-span prefix when this returns False."""
+    p = cfg.penalties
+    wm = max(p.mismatch, p.gap_open + p.gap_ext) + 1
+    we = p.gap_ext + 1
+    cell = 2 if Ltb + 2 <= 4095 else 4
+    rows32 = (wm + 2 * we) * Kf + 6 * Kf + 3 * 8 * Kf + 2 * Kf
+    vmem = rows32 * B_BLK * 4 + 12 * Kf * B_BLK * cell + (1 << 20)
+    return vmem <= 92 << 20
+
+
 def _prefix_inputs(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
                    B: int, Lq: int, Ltb: int, VW: int):
     """Shared phase-1 input construction for the wide prefix kernels
