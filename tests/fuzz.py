@@ -11,6 +11,9 @@ tool.  Stages (each time-bounded):
   3 pallas_long kernel (interpret)
   4 semi-global two-phase pipeline (l>256 so full_span>512), default +
     WFA_SEMI2_KERNEL_PREFIX=1
+  5 data-parallel pipeline over a virtual device mesh (ragged batches,
+    shard padding, per-shard token plans)
+  6 global pipeline tier ladder at mid lengths (l 300-1500, escapes)
 
 Usage: PYTHONPATH=. python tests/fuzz.py <stage> [budget_s]
 Env: WFA_FUZZ_SEED pins the RNG (default: wall clock).
@@ -26,6 +29,11 @@ import os
 import random
 import sys
 import time
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
@@ -217,6 +225,70 @@ def stage4(rng, deadline):
     return rounds, fails
 
 
+def stage5(rng, deadline):
+    """Random workloads through the data-parallel mesh pipeline
+    (8 virtual CPU devices set up below): ragged batches, shard
+    padding, divergent per-shard token plans."""
+    from wfa_tpu.parallel import make_dp_mesh
+    from wfa_tpu.pipeline import AlignmentPipeline, PipelineConfig
+
+    rounds = fails = 0
+    while time.time() < deadline:
+        p = Penalties(4, 6, 2) if rng.random() < 0.4 else rand_pen(rng)
+        glob = rng.random() < 0.7
+        ad = rand_adaptive(rng)
+        nd = rng.choice([2, 4, 8])
+        cfg = PipelineConfig(penalties=p, options=Options(glob),
+                             adaptive=ad, batch_size=rng.choice([16, 64]),
+                             n_devices=nd)
+        pipe = AlignmentPipeline(cfg)
+        oracle = OracleAligner(p, Options(glob), ad)
+        n = rng.randint(3, 40)  # often not a multiple of the mesh size
+        pairs = random_pairs(rng, n, 90)
+        res = pipe.align_all(pairs)
+        for (q, t), r in zip(pairs, res):
+            ref = oracle.align(q, t)
+            if (r.score, r.cigar(False)) != (ref.score, ref.cigar(False)):
+                print(f"MESH MISMATCH nd={nd} p={p} ad={ad}\n  q={q!r}\n"
+                      f"  t={t!r}\n  got {r.score} {r.cigar(False)}\n"
+                      f"  want {ref.score} {ref.cigar(False)}", flush=True)
+                fails += 1
+        rounds += 1
+    return rounds, fails
+
+
+def stage6(rng, deadline):
+    """Mid-length global pairs through the pipeline's tier ladder —
+    tier-0 window/score-cap escapes retrying on wider tiers."""
+    from wfa_tpu.pipeline import AlignmentPipeline, PipelineConfig
+
+    rounds = fails = 0
+    while time.time() < deadline:
+        p = Penalties(4, 6, 2) if rng.random() < 0.5 else rand_pen(rng)
+        ad = AdaptiveReductionOption(10, 50, 1)
+        cfg = PipelineConfig(penalties=p, options=Options(True),
+                             adaptive=ad, batch_size=32)
+        pipe = AlignmentPipeline(cfg)
+        oracle = OracleAligner(p, Options(True), ad)
+        n = rng.randint(300, 1500)
+        pairs = []
+        for _ in range(4):
+            q = "".join(rng.choice(BASES) for _ in range(n))
+            pairs.append((q.encode(),
+                          mutate(rng, q,
+                                 rng.choice([0.02, 0.1, 0.3])).encode()))
+        res = pipe.align_all(pairs)
+        for (q, t), r in zip(pairs, res):
+            ref = oracle.align(q, t)
+            if (r.score, r.cigar(False)) != (ref.score, ref.cigar(False)):
+                print(f"TIER MISMATCH p={p} n={n}\n  q={q!r}\n  t={t!r}\n"
+                      f"  got {r.score} {r.cigar(False)}\n"
+                      f"  want {ref.score} {ref.cigar(False)}", flush=True)
+                fails += 1
+        rounds += 1
+    return rounds, fails
+
+
 def main():
     stage = int(sys.argv[1])
     budget = float(sys.argv[2]) if len(sys.argv) > 2 else 600
@@ -226,8 +298,8 @@ def main():
           f"kernel_prefix={os.environ.get('WFA_SEMI2_KERNEL_PREFIX', '0')}",
           flush=True)
     deadline = time.time() + budget
-    rounds, fails = [None, stage1, stage2, stage3, stage4][stage](
-        rng, deadline)
+    rounds, fails = [None, stage1, stage2, stage3, stage4, stage5,
+                     stage6][stage](rng, deadline)
     print(f"stage {stage}: {rounds} rounds, {fails} failures", flush=True)
     sys.exit(1 if fails else 0)
 
