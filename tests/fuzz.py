@@ -19,8 +19,8 @@ Usage: PYTHONPATH=. python tests/fuzz.py <stage> [budget_s]
 Env: WFA_FUZZ_SEED pins the RNG (default: wall clock).
 
 Round-3 campaign results (1200 s/stage, CPU): stage 1 138 rounds,
-stage 2 135, stage 3 136, stage 4 24+24 (both prefix variants) —
-~5,000 random pairs, zero mismatches.  NB long runs need
+stage 2 135, stage 3 136, stage 4 24+24 (both prefix variants),
+stage 5 53, stage 6 40 — ~6,500 random pairs, zero mismatches.  NB long runs need
 ``vm.max_map_count`` raised (each interpret-mode compile adds
 mappings; the 65530 default dies with LLVM "Cannot allocate memory"
 after ~12 min).
