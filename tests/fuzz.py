@@ -14,6 +14,8 @@ tool.  Stages (each time-bounded):
   5 data-parallel pipeline over a virtual device mesh (ragged batches,
     shard padding, per-shard token plans)
   6 global pipeline tier ladder at mid lengths (l 300-1500, escapes)
+  7 CLI round-trip: full stdout byte-equality between --no-device
+    (oracle) and the device-engine path over random files and flags
 
 Usage: PYTHONPATH=. python tests/fuzz.py <stage> [budget_s]
 Env: WFA_FUZZ_SEED pins the RNG (default: wall clock).
@@ -289,6 +291,65 @@ def stage6(rng, deadline):
     return rounds, fails
 
 
+def stage7(rng, deadline):
+    """Random pair files + flag combinations through the CLI: the
+    device-engine run's stdout must equal the oracle run's
+    byte-for-byte (scores, cigars, 3-row text, stats, summary)."""
+    import contextlib
+    import io as io_mod
+    import tempfile
+
+    from wfa_tpu import cli
+
+    def run(argv):
+        buf = io_mod.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main(argv)
+        assert rc == 0, (rc, argv)
+        return buf.getvalue()
+
+    rounds = fails = 0
+    while time.time() < deadline:
+        pairs = random_pairs(rng, rng.randint(1, 10), 80)
+        # the file format strips the line's first char and newlines; keep
+        # fuzz bytes printable so the file survives the round trip
+        pairs = [
+            (bytes(b % 94 + 33 for b in q), bytes(b % 94 + 33 for b in t))
+            for q, t in pairs
+        ]
+        flags = []
+        if rng.random() < 0.4:
+            flags.append("-g")
+        if rng.random() < 0.3:
+            flags.append("-a")
+        if rng.random() < 0.3:
+            flags.append("-t")
+        with tempfile.NamedTemporaryFile("wb", suffix=".txt",
+                                         delete=False) as fh:
+            for q, t in pairs:
+                fh.write(b">" + q + b"\n<" + t + b"\n")
+            path = fh.name
+        base = ["-i", path, "--batch-size", str(rng.choice([4, 64]))]
+        out_dev = run(base + flags)
+        out_orc = run(base + flags + ["--no-device"])
+
+        def strip_summary(s):  # the aln/s rate line differs per run
+            return [ln for ln in s.splitlines()
+                    if not ln.startswith("aligned ")]
+
+        if strip_summary(out_dev) != strip_summary(out_orc):
+            print(f"CLI MISMATCH flags={flags} file={path}", flush=True)
+            for a, b in zip(strip_summary(out_dev), strip_summary(out_orc)):
+                if a != b:
+                    print(f"  dev: {a!r}\n  orc: {b!r}", flush=True)
+                    break
+            fails += 1
+        else:
+            os.unlink(path)
+        rounds += 1
+    return rounds, fails
+
+
 def main():
     stage = int(sys.argv[1])
     budget = float(sys.argv[2]) if len(sys.argv) > 2 else 600
@@ -299,7 +360,7 @@ def main():
           flush=True)
     deadline = time.time() + budget
     rounds, fails = [None, stage1, stage2, stage3, stage4, stage5,
-                     stage6][stage](rng, deadline)
+                     stage6, stage7][stage](rng, deadline)
     print(f"stage {stage}: {rounds} rounds, {fails} failures", flush=True)
     sys.exit(1 if fails else 0)
 

@@ -131,6 +131,23 @@ def test_cli_trim_flag():
     assert "query   ioinformatics ---helps Biolog" in out
 
 
+def test_cli_trim_no_match_region(tmp_path, capsys):
+    """-t on a pair whose alignment has no M op: the reference CLI
+    PANICS (trimOps slices ops[-1:0], wfa_cigar.go:217-233) — here the
+    pair is reported on stderr and the run continues (SURVEY §5
+    per-pair failure masking), found by tests/fuzz.py stage 7."""
+    from wfa_tpu import cli
+
+    infile = tmp_path / "pairs.txt"
+    infile.write_text(">A\n<G\n>ACCATACTCG\n<AGGATGCTCG\n")
+    rc = cli.main(["-i", str(infile), "-t", "--no-device"])
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert "pair 1: no aligned (M) region to trim to" in captured.err
+    # the second pair still rendered
+    assert "cigar   1M2X2M1X4M" in captured.out
+
+
 def test_cli_semi_global_flag():
     # README.md:17-27 front-page example (semi-global)
     rc, out = run_cli(

@@ -194,7 +194,15 @@ def main(argv=None) -> int:
                     print(f"pair {n_done + pair_i + 1}: {result.error}",
                           file=sys.stderr)
                 elif not args.no_output:
-                    _format_result(out, q, t, result, args.trim)
+                    try:
+                        _format_result(out, q, t, result, args.trim)
+                    except ValueError as exc:
+                        # -t on a pair with no aligned (M) region: the
+                        # reference PANICS here (trimOps slices
+                        # ops[-1:0], wfa_cigar.go:217-233) — report the
+                        # pair and continue instead
+                        print(f"pair {n_done + pair_i + 1}: {exc}",
+                              file=sys.stderr)
             n_done += len(block)
             if args.resume:
                 tmp = args.resume + ".tmp"
