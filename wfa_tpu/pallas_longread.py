@@ -86,6 +86,22 @@ def supports(cfg: EngineConfig, Ltb: int) -> bool:
         return False
     if cfg.s_cap % CH != 0:
         return False
+    # scratch VMEM must fit the lifted 100MB cap (v5e VMEM is 128MB):
+    # model the run's block sizing (the bb/wv loops below) and require
+    # 2x the summed scratch — measured Mosaic stack transients run ~2x
+    # the declared refs (30.4M total vs 15.9M declared at S=51k, K=384).
+    # Oversize configs (deep s_cap at l~100k+) take the JAX fallback
+    # instead of failing at hardware compile time.
+    S, K = cfg.s_cap, cfg.k_win
+    bb = B_BLK
+    while bb > 8 and S * K * bb * 6 > (3 << 30):
+        bb //= 2
+    wv = min(64, max(16, (7 << 20) // (3 * bb * K * 4)))
+    we = p.gap_ext + 1
+    est = (bb * K * ((wm + 2 * we) * 4 + 24 + 96 + 12 * wv)
+           + 4 * S * bb)
+    if 2 * est > (96 << 20):
+        return False
     # any length is fine: when the stop tables outgrow VMEM the kernel
     # streams a sliding window of them from HBM
     return True
@@ -859,7 +875,15 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.VMEM((S, bb), jnp.int32),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # lift the 16MB scoped-VMEM default: the per-block scratch +
+            # Mosaic's stack transients exceed it at deep s_cap (measured
+            # 30.4M at S=51k, K=384, bb=32 — a hard compile failure on
+            # hardware that interpret-mode CPU tests never see); v5e has
+            # 128MB VMEM
+            vmem_limit_bytes=100 << 20,
+        ),
         interpret=interpret,
     )(params, whi, wlo, fsa64, row0, rowx)
 
