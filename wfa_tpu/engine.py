@@ -269,35 +269,48 @@ def _stop_tables_v(qb, tbuf, qlen, tlen, toff, K: int, Lq: int, Ltb: int,
     VWe = VW + 64
     Lvw = VWe // 32
 
-    # t_sh[b, j, v] = tbuf[b, v + j] by log2(K) concat-and-shift
-    # doublings.  Invariant: R[b, r, v] = tpad[b, v + r].
-    Lp = K + VWe
-    tpad = jnp.zeros((B, 1, Lp), jnp.uint8)
-    tb_in = tbuf if Ltb <= Lp else lax.slice(tbuf, (0, 0), (B, Lp))
-    tpad = lax.dynamic_update_slice(tpad, tb_in[:, None, :], (0, 0, 0))
-    R = tpad
-    d = 1
-    while d < K:
-        shifted = jnp.pad(R, ((0, 0), (0, 0), (0, d)))[:, :, d:]
-        R = jnp.concatenate([R, shifted], axis=1)
-        d *= 2
-    t_sh = lax.slice(R, (0, 0, 0), (B, K, VWe))  # [B, K, VWe]
-
-    vs = jnp.arange(VWe, dtype=jnp.int32)[None, None, :]
-    js = jnp.arange(K, dtype=jnp.int32)[None, :, None]
-    cs = vs + js
-    valid = (
-        (vs < qlen[:, None, None])
-        & (cs >= toff[:, None, None])
-        & (cs < (toff + tlen)[:, None, None])
-    )
+    # t_sh[b, j, v] = tbuf[b, v + j] by concat-and-shift doublings
+    # (invariant: R[b, r, v] = tpad[b, v + r]), built CK diagonals at a
+    # time: a whole-K build materializes a [B, K, K + VWe] byte tensor
+    # — 13 GB at B=1408, K=2048 (a hard HBM compile OOM on the
+    # full-span semi-global prefix) — where each chunk pass peaks at
+    # [B, CK, CK + VWe] bytes and writes its packed words into the
+    # accumulator, ~K/CK times smaller.
+    CK = 256 if K % 256 == 0 else 128
+    CK = min(CK, K)
+    assert K % CK == 0
+    Lpf = K + VWe  # t padded so every chunk's slice is in bounds
+    tfull = (jnp.pad(tbuf, ((0, 0), (0, Lpf - Ltb))) if Ltb <= Lpf
+             else lax.slice(tbuf, (0, 0), (B, Lpf)))
     qpad = qb if Lq >= VWe else jnp.pad(qb, ((0, 0), (0, VWe - Lq)))
     qv = lax.slice(qpad, (0, 0), (B, VWe))[:, None, :]
-    stop = ~(valid & (qv == t_sh))  # [B, K, VWe] bool
-
-    bits = stop.reshape(B, K, Lvw, 32).astype(jnp.int32)
     weights = (jnp.int32(1) << (31 - jnp.arange(32, dtype=jnp.int32)))
-    words = jnp.sum(bits * weights[None, None, None, :], axis=-1)
+    vs = jnp.arange(VWe, dtype=jnp.int32)[None, None, :]
+    rs = jnp.arange(CK, dtype=jnp.int32)[None, :, None]
+    Lp = CK + VWe
+
+    def _chunk(i, acc):
+        j0 = i * CK
+        R = lax.dynamic_slice(tfull, (0, j0), (B, Lp))[:, None, :]
+        d = 1
+        while d < CK:
+            shifted = jnp.pad(R, ((0, 0), (0, 0), (0, d)))[:, :, d:]
+            R = jnp.concatenate([R, shifted], axis=1)
+            d *= 2
+        t_sh = lax.slice(R, (0, 0, 0), (B, CK, VWe))  # [B, CK, VWe]
+        cs = vs + rs + j0
+        valid = (
+            (vs < qlen[:, None, None])
+            & (cs >= toff[:, None, None])
+            & (cs < (toff + tlen)[:, None, None])
+        )
+        stop = ~(valid & (qv == t_sh))  # [B, CK, VWe] bool
+        bits = stop.reshape(B, CK, Lvw, 32).astype(jnp.int32)
+        wc = jnp.sum(bits * weights[None, None, None, :], axis=-1)
+        return lax.dynamic_update_slice(acc, wc, (0, j0, 0))
+
+    words = lax.fori_loop(0, K // CK, _chunk,
+                          jnp.zeros((B, K, Lvw), jnp.int32))
     wclz = lax.clz(words)
     wpos = jnp.where(
         words != 0,
