@@ -278,8 +278,10 @@ def _stop_tables_v(qb, tbuf, qlen, tlen, toff, K: int, Lq: int, Ltb: int,
     # accumulator, ~K/CK times smaller.
     CK = 256 if K % 256 == 0 else 128
     CK = min(CK, K)
-    assert K % CK == 0
-    Lpf = K + VWe  # t padded so every chunk's slice is in bounds
+    # accumulate into a CK-multiple-padded K and slice back at the end
+    # so arbitrary k_win widths work (chunks never write out of bounds)
+    Kp = ((K + CK - 1) // CK) * CK
+    Lpf = Kp + VWe  # t padded so every chunk's slice is in bounds
     tfull = (jnp.pad(tbuf, ((0, 0), (0, Lpf - Ltb))) if Ltb <= Lpf
              else lax.slice(tbuf, (0, 0), (B, Lpf)))
     qpad = qb if Lq >= VWe else jnp.pad(qb, ((0, 0), (0, VWe - Lq)))
@@ -309,8 +311,10 @@ def _stop_tables_v(qb, tbuf, qlen, tlen, toff, K: int, Lq: int, Ltb: int,
         wc = jnp.sum(bits * weights[None, None, None, :], axis=-1)
         return lax.dynamic_update_slice(acc, wc, (0, j0, 0))
 
-    words = lax.fori_loop(0, K // CK, _chunk,
-                          jnp.zeros((B, K, Lvw), jnp.int32))
+    words = lax.fori_loop(0, Kp // CK, _chunk,
+                          jnp.zeros((B, Kp, Lvw), jnp.int32))
+    if Kp != K:
+        words = lax.slice(words, (0, 0, 0), (B, K, Lvw))
     wclz = lax.clz(words)
     wpos = jnp.where(
         words != 0,
@@ -1411,7 +1415,10 @@ class BatchAligner:
         elif engine == "pallas_long":
             from .pallas_longread import supports as supports_long
 
-            if not supports_long(self.cfg, Ltb):
+            # the VMEM gate is hardware-only; interpret-mode (CPU
+            # tests/fuzz) still exercises deep-s_cap kernel configs
+            if not supports_long(self.cfg, Ltb,
+                                 interpret=jax.default_backend() == "cpu"):
                 engine = "jax"
         packed = tp is not None
         # two uploads instead of five: sequences ride one byte matrix,

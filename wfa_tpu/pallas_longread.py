@@ -69,11 +69,59 @@ CH = 8  # history scores per output DMA chunk
 _NP = 16  # packed per-pair parameter columns
 
 
-def supports(cfg: EngineConfig, Ltb: int) -> bool:
+def _block_sizing(S: int, K: int, B=None):
+    """(bb_pad, bb, wv): kernel block size and stop-table VMEM window.
+
+    Single source of truth for pallas_run_batch and the supports() VMEM
+    gate — a desync between the two reintroduces hardware-only compile
+    failures.  ``bb_pad`` is the block multiple the batch is padded to
+    (the pre-shrink size); ``bb`` the executed block; ``wv`` the table
+    window (groups), sized to a ~7MB VMEM budget.  ``B`` = batch size;
+    None (the gate) models the largest block the sizing can produce."""
+    bb = B_BLK
+    while bb > 8 and S * K * bb * 6 > (6 << 30):
+        bb //= 2
+    bb_pad = bb
+    # shrink for small or memory-heavy batches so block padding stops
+    # wasting work (6 B/cell: 3 int16 aux planes)
+    while bb > 8 and ((B is not None and B <= bb // 2)
+                      or S * K * bb * 6 > (3 << 30)):
+        bb //= 2
+    wv = min(64, max(16, (7 << 20) // (3 * bb * K * 4)))
+    return bb_pad, bb, wv
+
+
+def _vmem_bytes(bb: int, wv: int, S: int, K: int, p, stream: bool = True,
+                Lw2: int = 0) -> int:
+    """Total declared VMEM for one block: mirrors pallas_run_batch's
+    scratch_shapes plus its VMEM-blocked in/out specs, so the supports()
+    gate tracks the real allocation when either list changes."""
+    WM = max(p.mismatch, p.gap_open + p.gap_ext) + 1
+    WE = p.gap_ext + 1
+    twv = wv if stream else 1
+    shapes = [
+        # scratch_shapes
+        (WM * bb * K, 4), (WE * bb * K, 4), (WE * bb * K, 4),
+        (2 * bb * K, 4), (2 * bb * K, 4), (2 * bb * K, 4),
+        (2 * CH * bb * K, 2), (2 * CH * bb * K, 2), (2 * CH * bb * K, 2),
+        (bb * twv * K, 4), (bb * twv * K, 4), (bb * twv * K, 4),
+        (S * bb, 4),
+        # VMEM-blocked in/out specs: params, seed rows, out, aux_base
+        (bb * _NP, 4), (bb * K, 4), (bb * K, 4),
+        (bb * 8, 4), (bb * S, 4),
+    ]
+    if not stream:
+        shapes += [(bb * Lw2 * K, 4)] * 3
+    return sum(n * w for n, w in shapes)
+
+
+def supports(cfg: EngineConfig, Ltb: int, interpret: bool = False) -> bool:
     """Whether the fused kernel handles this config (else JAX fallback).
 
     ``Ltb`` is the padded target-buffer length (0 = unknown: check only
-    the length-independent constraints)."""
+    the length-independent constraints).  ``interpret`` skips the
+    hardware scoped-VMEM gate (the 100MB cap is hardware-only; CPU
+    tests/fuzz should still exercise deep-s_cap configs)."""
     p = cfg.penalties
     wm = max(p.mismatch, p.gap_open + p.gap_ext) + 1
     if wm > 64 or p.gap_ext + 1 > 64:
@@ -86,21 +134,18 @@ def supports(cfg: EngineConfig, Ltb: int) -> bool:
         return False
     if cfg.s_cap % CH != 0:
         return False
+    if interpret:
+        return True
     # scratch VMEM must fit the lifted 100MB cap (v5e VMEM is 128MB):
-    # model the run's block sizing (the bb/wv loops below) and require
-    # 2x the summed scratch — measured Mosaic stack transients run ~2x
-    # the declared refs (30.4M total vs 15.9M declared at S=51k, K=384).
-    # Oversize configs (deep s_cap at l~100k+) take the JAX fallback
-    # instead of failing at hardware compile time.
+    # model the run's block sizing (shared _block_sizing) and require
+    # 2x the summed declared VMEM — measured Mosaic stack transients
+    # run ~2x the declared refs (30.4M total vs 15.9M declared at
+    # S=51k, K=384).  Oversize configs (deep s_cap at l~100k+) take the
+    # JAX fallback instead of failing at hardware compile time.
+    # stream=True models the larger table window (non-stream Lw2 <= wv).
     S, K = cfg.s_cap, cfg.k_win
-    bb = B_BLK
-    while bb > 8 and S * K * bb * 6 > (3 << 30):
-        bb //= 2
-    wv = min(64, max(16, (7 << 20) // (3 * bb * K * 4)))
-    we = p.gap_ext + 1
-    est = (bb * K * ((wm + 2 * we) * 4 + 24 + 96 + 12 * wv)
-           + 4 * S * bb)
-    if 2 * est > (96 << 20):
+    _, bb, wv = _block_sizing(S, K)
+    if 2 * _vmem_bytes(bb, wv, S, K, p, stream=True) > (96 << 20):
         return False
     # any length is fine: when the stop tables outgrow VMEM the kernel
     # streams a sliding window of them from HBM
@@ -782,14 +827,13 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
          lox, hix, exx.astype(jnp.int32), Ak]
         + [jnp.zeros_like(qlen)] * (_NP - 12), axis=1)
 
-    # block size: 32 pairs amortizes per-op cost (vector ops cost much
-    # the same regardless of sublane occupancy, so block padding is nearly
-    # free); shrink only when a block's aux plane would strain HBM
-    bb = B_BLK
-    while bb > 8 and S * K * bb * 6 > (6 << 30):
-        bb //= 2
+    # block size: see _block_sizing (shared with the supports() gate);
+    # shrink when a block's aux plane would strain HBM or the batch is
+    # small.  Vector ops cost much the same regardless of sublane
+    # occupancy, so block padding is nearly free.
+    bb_pad, bb, wv_auto = _block_sizing(S, K, B)
     # pad the batch to a block multiple (padding rows are overflow)
-    Bp = ((B + bb - 1) // bb) * bb
+    Bp = ((B + bb_pad - 1) // bb_pad) * bb_pad
     if Bp != B:
         pad = Bp - B
         params = jnp.concatenate(
@@ -803,12 +847,8 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
 
     WM = max(p.mismatch, p.gap_open + p.gap_ext) + 1
     WE = p.gap_ext + 1
-    # shrink for small or memory-heavy batches so block padding stops
-    # wasting work (6 B/cell: 3 int16 aux planes)
-    while bb > 8 and (B <= bb // 2 or S * K * bb * 6 > (3 << 30)):
-        bb //= 2
     if wv <= 0:  # table window sized to a ~7MB VMEM budget
-        wv = min(64, max(16, (7 << 20) // (3 * bb * K * 4)))
+        wv = wv_auto
     WV = wv
     stream = Lw2 > WV
     # aux cells are ALWAYS int16: values stream rebased against the
