@@ -78,24 +78,24 @@ def test_semi2_pipeline_uses_semi2_engine():
     cfg = PipelineConfig(penalties=PEN, options=SEMI, adaptive=ADA,
                          n_devices=1)
     pipe = AlignmentPipeline(cfg)
-    k_win, s_cap, w_win, b_cap, engine, serial = pipe._tier_caps(
+    k_win, s_cap, w_win, b_cap, engine, serial, _bb = pipe._tier_caps(
         1000, 1010, 0)
     assert engine == "semi2:48" and k_win == 256
-    k_win, s_cap, w_win, b_cap, engine, serial = pipe._tier_caps(
+    k_win, s_cap, w_win, b_cap, engine, serial, _bb = pipe._tier_caps(
         1000, 1010, 1)
     assert engine == "semi2:112" and k_win == 512
-    k_win, s_cap, w_win, b_cap, engine, serial = pipe._tier_caps(
+    k_win, s_cap, w_win, b_cap, engine, serial, _bb = pipe._tier_caps(
         1000, 1010, 2)
     assert engine == "semi2:200" and k_win == 512
     # final tier stays the exact full-span engine
-    k_win, s_cap, w_win, b_cap, engine, serial = pipe._tier_caps(
+    k_win, s_cap, w_win, b_cap, engine, serial, _bb = pipe._tier_caps(
         1000, 1010, 3)
     assert not engine.startswith("semi2") and k_win >= 2010
     # no-adaptive runs keep the full span (bands never collapse)
     cfg_a = PipelineConfig(penalties=PEN, options=SEMI, adaptive=None,
                            n_devices=1)
     pipe_a = AlignmentPipeline(cfg_a)
-    _, _, _, _, engine, _ = pipe_a._tier_caps(1000, 1010, 0)
+    _, _, _, _, engine, _, _bb = pipe_a._tier_caps(1000, 1010, 0)
     assert not engine.startswith("semi2")
 
 

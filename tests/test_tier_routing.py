@@ -22,7 +22,7 @@ def _cfg(**kw):
 
 def test_long_reads_route_to_windowed_rebase():
     pipe = AlignmentPipeline(_cfg())
-    k_win, s_cap, _, b_cap, engine, serial = pipe._tier_caps(50000, 50000, 0)
+    k_win, s_cap, _, b_cap, engine, serial, _bb = pipe._tier_caps(50000, 50000, 0)
     assert engine == "auto:kw256"
     assert serial  # multi-GB batches must drain one at a time
     # the kernel pads to 128-lane blocks: the cap is a whole block, not
@@ -34,7 +34,7 @@ def test_midlength_routes_to_pure_value_rebase():
     """l past the 13-bit offset limit but within budget at full width:
     KW == k_win (no row windowing, int16 cells via value rebase)."""
     pipe = AlignmentPipeline(_cfg())
-    k_win, _, _, _, engine, _ = pipe._tier_caps(4300, 4300, 0)
+    k_win, _, _, _, engine, _, _bb = pipe._tier_caps(4300, 4300, 0)
     assert engine == f"auto:kw{k_win}" or engine == "auto:kw256"
     assert engine.startswith("auto:kw")
 
@@ -46,7 +46,7 @@ def test_short_reads_route_plain():
 
 def test_tiny_budget_falls_to_longread_kernel():
     pipe = AlignmentPipeline(_cfg(hbm_budget=200 << 20))
-    _, _, _, b_cap, engine, _ = pipe._tier_caps(50000, 50000, 0)
+    _, _, _, b_cap, engine, _, _bb = pipe._tier_caps(50000, 50000, 0)
     assert engine == "pallas_long"
     # sub-block caps stay small (the long-read kernel shrinks its block
     # size) rather than rounding up past the budget

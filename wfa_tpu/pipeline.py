@@ -64,6 +64,10 @@ class AlignmentPipeline:
         self._device_errors = 0  # device-fault counter (see _device_fault)
         self._pool = None  # lazy drain ThreadPoolExecutor (_drain_pool)
         self._spool = None  # lazy submit ThreadPoolExecutor (_submit_pool)
+        import threading
+
+        self._mem_cv = threading.Condition()  # in-flight byte gate
+        self._mem_used = 0  # modeled bytes of submitted-not-yet-drained batches
         self._mesh = None
         if cfg.use_device:
             import jax
@@ -224,13 +228,16 @@ class AlignmentPipeline:
         if b_cap >= blk:
             b_cap -= b_cap % blk  # keep batches a whole number of blocks
         # device footprint of one ACTUAL batch (pallas pads to 128-lane
-        # blocks); big batches must run serially — overlapping them risks
-        # HBM OOM
+        # blocks).  Moderate batches overlap under the in-flight byte
+        # gate (_mem_acquire: submits block while outstanding model
+        # bytes would exceed hbm_budget); batches over half the budget
+        # run serially — even two of those in flight risk the HBM hard
+        # fault
         bs = min(self.cfg.batch_size, b_cap)
         eff_b = max(bs, blk) if pallas_likely else bs
         batch_bytes = per_pair * eff_b
-        serial = batch_bytes > (2 << 30)
-        return k_win, s_cap, w_win, b_cap, engine, serial
+        serial = batch_bytes > max(2 << 30, self.cfg.hbm_budget // 2)
+        return k_win, s_cap, w_win, b_cap, engine, serial, batch_bytes
 
     def _engine(self, k_win: int, s_cap: int, w_win, engine) -> BatchAligner:
         key = (k_win, s_cap, w_win, engine)
@@ -319,7 +326,7 @@ class AlignmentPipeline:
                     inflight.append(((lq_c, lt_c), items, [None] * len(items)))
                     continue
                 prev_caps[(lq_c, lt_c)] = caps
-                k_win, s_cap, w_win, b_cap, engine, serial = caps
+                k_win, s_cap, w_win, b_cap, engine, serial, batch_bytes = caps
                 eng = self._engine(k_win, s_cap, w_win, engine)
                 bs = min(self.cfg.batch_size, b_cap)
                 n_chunks = (len(items) + bs - 1) // bs
@@ -363,14 +370,26 @@ class AlignmentPipeline:
                         # releases the GIL) so it overlaps the submit
                         # worker's blocking upload of the PREVIOUS
                         # batch; upload+dispatch then run on the
-                        # ordered submit worker
+                        # ordered submit worker.  The byte gate blocks
+                        # here while too many batches' device buffers
+                        # are still alive (aux planes persist from
+                        # dispatch until the drain deletes them — an
+                        # unbounded pile-up is an HBM hard fault)
                         chunk_pairs = [p for _, p in chunk]
-                        pre = (eng._pack_all(chunk_pairs)
-                               if eng.mesh is None else None)
-                        sub = self._submit_pool().submit(
-                            eng.submit_batch, chunk_pairs, pre)
-                        submit_futs.append(sub)
-                        fut = pool.submit(self._drain_from, eng, sub)
+                        self._mem_acquire(batch_bytes)
+                        started = False
+                        try:
+                            pre = (eng._pack_all(chunk_pairs)
+                                   if eng.mesh is None else None)
+                            sub = self._submit_pool().submit(
+                                eng.submit_batch, chunk_pairs, pre)
+                            submit_futs.append(sub)
+                            fut = pool.submit(
+                                self._drain_from, eng, sub, batch_bytes)
+                            started = True
+                        finally:
+                            if not started:
+                                self._mem_release(batch_bytes)
                         inflight.append(((lq_c, lt_c), chunk, fut))
                         if probe and ci == 0:
                             probe_fut = fut
@@ -454,12 +473,32 @@ class AlignmentPipeline:
         """Worker-thread body: fetch a submitted batch and decode it."""
         return eng.finish_tokens(eng.finish_small(handle), fallback=False)
 
-    @staticmethod
-    def _drain_from(eng: BatchAligner, sub_fut):
+    def _drain_from(self, eng: BatchAligner, sub_fut, nbytes: int):
         """Drain a batch whose submit ran async: wait for the submit
         handle, then fetch + decode (submit-side device faults surface
-        here and are handled exactly like drain-side ones)."""
-        return AlignmentPipeline._drain_one(eng, sub_fut.result())
+        here and are handled exactly like drain-side ones).  Releases
+        the batch's in-flight byte reservation once its device buffers
+        are deleted (or its submit/drain failed)."""
+        try:
+            return self._drain_one(eng, sub_fut.result())
+        finally:
+            self._mem_release(nbytes)
+
+    # -- in-flight device-memory gate ------------------------------------------
+
+    def _mem_acquire(self, nbytes: int) -> None:
+        """Block until `nbytes` more of modeled device memory fits the
+        HBM budget (at least one batch is always admitted)."""
+        with self._mem_cv:
+            while (self._mem_used > 0
+                   and self._mem_used + nbytes > self.cfg.hbm_budget):
+                self._mem_cv.wait()
+            self._mem_used += nbytes
+
+    def _mem_release(self, nbytes: int) -> None:
+        with self._mem_cv:
+            self._mem_used -= nbytes
+            self._mem_cv.notify_all()
 
     def _device_fault(self, exc: Exception) -> None:
         """Record a device-side failure (worker crash, OOM, comms)."""
