@@ -205,13 +205,30 @@ class AlignmentPipeline:
         if semi2_s0 is not None:
             engine = f"semi2:{semi2_s0}"
             blk = 128
-            # the full-span prefix transients dominate: six int32
-            # [S0+1, B, Kf] state tensors + the kept full-span aux
-            # history + stop tables, then the phase-2 narrow aux
-            per_pair = ((semi2_s0 + 1) * full_span * 24
-                        + 3 * semi2_s0 * full_span * 4
-                        + full_span * lw * 8
-                        + s_cap * k_win * 8 + k_win * lw * 24)
+            if self._semi2_kernel_prefix(full_span):
+                # kernel prefix (pallas_prefix/EXPORT): no XLA state
+                # tensors — the batch carries the int16/int32 aux_old
+                # history, the v-space tables (x2 build transient), the
+                # kernel state dump, then the phase-2 narrow aux.  The
+                # gate must match _submit_semi2's use_kernel decision
+                # (same env + penalty + VMEM checks, with Ltb estimated
+                # pessimistically as the full span) — modeling the
+                # kernel footprint while the XLA prefix actually runs
+                # would overshoot HBM by ~4x.
+                cell = 2 if full_span + 2 <= 4095 else 4
+                vw_words = min(1024, max(128, lq)) // 64 + 2
+                per_pair = (3 * semi2_s0 * full_span * cell
+                            + 2 * 3 * vw_words * full_span * 4
+                            + 16 * full_span * 4
+                            + s_cap * k_win * 8 + k_win * lw * 24)
+            else:
+                # XLA prefix: six int32 [S0+1, B, Kf] state tensors +
+                # the kept full-span aux history + stop tables, then
+                # the phase-2 narrow aux
+                per_pair = ((semi2_s0 + 1) * full_span * 24
+                            + 3 * semi2_s0 * full_span * 4
+                            + full_span * lw * 8
+                            + s_cap * k_win * 8 + k_win * lw * 24)
         elif engine == "pallas_long":
             # value-rebased int16 aux at any length (pallas_longread)
             mult, blk = 8, 32
@@ -238,6 +255,23 @@ class AlignmentPipeline:
         batch_bytes = per_pair * eff_b
         serial = batch_bytes > max(2 << 30, self.cfg.hbm_budget // 2)
         return k_win, s_cap, w_win, b_cap, engine, serial, batch_bytes
+
+    def _semi2_kernel_prefix(self, full_span: int) -> bool:
+        """Whether _submit_semi2 will run the Pallas kernel prefix for
+        this class (mirrors its use_kernel decision; Ltb is estimated
+        as the full span, an upper bound, so this can only
+        false-negative — never model the small kernel footprint while
+        the big XLA prefix actually runs)."""
+        if os.environ.get("WFA_SEMI2_KERNEL_PREFIX") != "1":
+            return False
+        from .engine import EngineConfig
+        from .pallas_engine import prefix_kernel_fits, supports_prefix
+
+        kcfg = EngineConfig(
+            penalties=self.cfg.penalties, global_alignment=False,
+            adaptive=self.cfg.adaptive, k_win=full_span, s_cap=8)
+        return (supports_prefix(kcfg)
+                and prefix_kernel_fits(kcfg, full_span, full_span))
 
     def _engine(self, k_win: int, s_cap: int, w_win, engine) -> BatchAligner:
         key = (k_win, s_cap, w_win, engine)
