@@ -86,6 +86,16 @@ def _global_args(mesh, host_args):
         for a in host_args)
 
 
+def _coarse(n: int, lo: int = 512) -> int:
+    """Round up to a coarse grid (>= 1/8 of the magnitude) so adaptive
+    fetch-slice extents reuse compiled slice programs — every distinct
+    extent otherwise compiles a fresh ~0.5 s slice program per batch."""
+    g = lo
+    while g * 8 < n:
+        g *= 2
+    return ((n + g - 1) // g) * g
+
+
 def _pad_len(n: int) -> int:
     """Pad buffer lengths to coarse steps so same-bucket chunks with
     slightly different maxima share one compiled program."""
@@ -1020,6 +1030,7 @@ def _token_plan(s_cap: int, penalties, Lq: int, Ltb: int):
 def _align_full_impl(
     qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig, B: int, Lq: int,
     Ltb: int, engine: str = "jax", packed: bool = False,
+    flat: bool = False,
 ):
     """Full on-device alignment: score loop + end finder + backtrace.
 
@@ -1074,6 +1085,7 @@ def _align_full_impl(
             aux, start_cell, -toff.astype(jnp.int32), start_s, start_k,
             qlen, tlen, done, overflow, cfg=cfg, Lq=Lq, Ltb=Ltb,
             b_stride=b_stride, pairs_on_lanes=False, aux_base=aux_base,
+            flat=flat,
         )
     else:
         st = _run_batch_impl(
@@ -1102,7 +1114,7 @@ def _align_full_impl(
     return _finish_outputs(
         aux, start_cell, k0, start_s, start_k, qlen, tlen, done, overflow,
         cfg=cfg, Lq=Lq, Ltb=Ltb, b_stride=b_stride,
-        pairs_on_lanes=pairs_on_lanes, aux_sbase=sbase,
+        pairs_on_lanes=pairs_on_lanes, aux_sbase=sbase, flat=flat,
     )
 
 
@@ -1111,12 +1123,17 @@ def _finish_outputs(
     cfg: EngineConfig, Lq: int, Ltb: int, b_stride: int,
     pairs_on_lanes: bool, aux_old=None, k0_old=None, s_split: int = 0,
     old_pairs_on_lanes: bool = False, aux_base=None, aux_sbase=None,
+    flat: bool = False,
 ):
     """Device backtrace + stats + token compaction + meta packing —
     shared by the single-phase paths and the two-phase semi-global
-    resume (wfa_tpu.semi2, which passes the phase-1 aux as aux_old)."""
-    from .device_backtrace import (compact_tokens, device_backtrace,
-                                   device_stats, iter_capacity)
+    resume (wfa_tpu.semi2, which passes the phase-1 aux as aux_old).
+    ``flat`` emits the merged output as ONE 1-D tensor with the tokens
+    cross-pair packed (exact-extent fetch; single-device path only —
+    shard_map outputs keep the 2-D row layout so shards concatenate)."""
+    from .device_backtrace import (compact_tokens, compact_tokens_flat,
+                                   device_backtrace, device_stats,
+                                   iter_capacity)
 
     S = cfg.s_cap
     # rebased aux (aux_sbase) stores KW-row windows: the backtrace's aux
@@ -1137,11 +1154,10 @@ def _finish_outputs(
     align_len, matches, gaps, gap_regions = device_stats(
         tok0, buf, tail, token_shift)
     if compact:
-        toks, n_tok = compact_tokens(tok0, buf, tail, token_shift)
-        tok_out = {"toks": toks}
+        ct = compact_tokens_flat if flat else compact_tokens
+        toks, n_tok = ct(tok0, buf, tail, token_shift)
         trim_len = n_tok
     else:
-        tok_out = {"tok0": tok0, "buf": buf, "tail": tail}
         trim_len = jnp.broadcast_to(it_used, qb0.shape)
     # ONE small per-pair tensor instead of eleven: every host fetch
     # costs a tunnel round trip, so the scalars ride together
@@ -1152,9 +1168,25 @@ def _finish_outputs(
         [start_s, overflow.astype(jnp.int32), qb0, qe, tb0, te,
          align_len, matches, gaps, gap_regions, trim_len], axis=1)
     ns_cap = 2 * iter_capacity(S, cfg.penalties) + 5
-    if max(Lq + Ltb, S, ns_cap) <= 32000:
+    meta16 = max(Lq + Ltb, S, ns_cap) <= 32000
+    if compact:
+        # ... and on the compact path the scalars ride IN FRONT OF the
+        # token stream: one device tensor per batch = one tunnel fetch
+        # (through the tunnel every fetch costs a serial ~26 ms round
+        # trip even when async copies are queued).  int16 tokens imply
+        # meta fits int16 too (token_shift<=12 => Lq,Ltb < 4096 => all
+        # meta bounds < 32000, pipeline-capped s_cap included); direct
+        # s_cap>32000 configs upcast the tokens instead.
+        if toks.dtype == jnp.int16 and not meta16:
+            toks = toks.astype(jnp.int32)
+        if flat:
+            return {"mt": jnp.concatenate(
+                [meta.astype(toks.dtype).reshape(-1), toks])}
+        return {"mt": jnp.concatenate(
+            [meta.astype(toks.dtype), toks], axis=1)}
+    if meta16:
         meta = meta.astype(jnp.int16)
-    return {"meta": meta, **tok_out}
+    return {"meta": meta, "tok0": tok0, "buf": buf, "tail": tail}
 
 
 _align_full = functools.partial(
@@ -1164,7 +1196,7 @@ _align_full = functools.partial(
 
 def _align_full2_impl(
     seq, lens, *, cfg: EngineConfig, B: int, Lq: int, Ltb: int,
-    engine: str = "jax", packed: bool = False,
+    engine: str = "jax", packed: bool = False, flat: bool = False,
 ):
     """Combined-upload variant of :func:`_align_full_impl`.
 
@@ -1180,11 +1212,13 @@ def _align_full2_impl(
     return _align_full_impl(
         qb, tbuf, lens[:, 0], lens[:, 1], lens[:, 2],
         cfg=cfg, B=B, Lq=Lq, Ltb=Ltb, engine=engine, packed=packed,
+        flat=flat,
     )
 
 
 _align_full2 = functools.partial(
-    jax.jit, static_argnames=("cfg", "B", "Lq", "Ltb", "engine", "packed")
+    jax.jit,
+    static_argnames=("cfg", "B", "Lq", "Ltb", "engine", "packed", "flat"),
 )(_align_full2_impl)
 
 
@@ -1258,7 +1292,7 @@ class BatchAligner:
         self._oracle = OracleAligner(penalties, options, adaptive)
         # adaptive speculative-prefetch extents (token cols/rows), per
         # token-output kind; None until the first batch calibrates them
-        self._tok_guess = {"toks": None, "buf": None}
+        self._tok_guess = {"mt": None, "toks": None, "buf": None}
 
     # -- public API ---------------------------------------------------------
 
@@ -1443,7 +1477,7 @@ class BatchAligner:
         else:
             out = _align_full2(
                 *args, cfg=self.cfg, B=B, Lq=Lq, Ltb=Ltb, engine=engine,
-                packed=packed,
+                packed=packed, flat=True,
             )
         return self._queue_fetch(pairs, out)
 
@@ -1460,12 +1494,31 @@ class BatchAligner:
         batches that outrun the guess fetch the remainder in
         finish_small (rare; the guess self-adjusts)."""
         for k, a in out.items():
-            if k not in ("buf", "toks"):
+            if k not in ("buf", "toks", "mt"):
                 a.copy_to_host_async()
-        big = "toks" if "toks" in out else "buf"
+        big = ("mt" if "mt" in out
+               else "toks" if "toks" in out else "buf")
         guess = self._tok_guess.get(big)
         spec = None
-        if guess is not None:
+        if big == "mt":
+            # the merged meta|tokens tensor: the prefetch always covers
+            # at least the meta columns (finish_small reads trim extents
+            # from the prefetched slice — no separate meta fetch).
+            # 1-D = flat cross-pair-packed tokens (single-device), 2-D =
+            # row layout (shard_map outputs concatenate along the batch)
+            mt = out["mt"]
+            nm = len(META_COLS)
+            if mt.ndim == 1:
+                B = len(pairs)
+                hd = nm * B
+                n = hd if guess is None else min(mt.shape[0], hd + guess)
+                spec = mt[:n]
+            else:
+                cols = (nm if guess is None
+                        else min(mt.shape[1], nm + guess))
+                spec = mt[:, :cols]
+            spec.copy_to_host_async()
+        elif guess is not None:
             if big == "toks":
                 spec = out["toks"][:, : min(out["toks"].shape[1], guess)]
             else:
@@ -1506,17 +1559,17 @@ class BatchAligner:
         # phase-1 stop reads must be v-space: the full-span seed rows
         # have live cells at every buffer column, so an anchored c-space
         # read window would mass-outrun, and reading the full c-table
-        # every step costs ~1 GB/step.  The XLA prefix with a v-anchored
-        # 8-word window is the default; the wide kernel's EXPORT mode is
-        # bit-exact too but its Mosaic compile at K~2048 takes tens of
-        # minutes per process (opt-in for long-lived servers).
-        import os
+        # every step costs ~1 GB/step.  Phase 1 runs on the CHUNKED
+        # Pallas prefix kernel by default (fast Mosaic compile, main-
+        # kernel tile efficiency); the XLA prefix with a v-anchored
+        # window covers degenerate penalties, WFA_SEMI2_KERNEL_PREFIX=0,
+        # and spans past the VMEM gate (semi2.kernel_prefix_enabled).
+        from .semi2 import kernel_prefix_enabled, prefix_kf
 
-        from .pallas_engine import prefix_kernel_fits, supports_prefix
-
-        use_kernel = (os.environ.get("WFA_SEMI2_KERNEL_PREFIX") == "1"
-                      and supports_prefix(self.cfg)
-                      and prefix_kernel_fits(self.cfg, Kf, Ltb))
+        use_kernel = kernel_prefix_enabled(self.cfg, Kf, Ltb)
+        if use_kernel:
+            # 512-multiple Kf => KC=512 chunk tiles in the chunked prefix
+            Kf = prefix_kf(self.cfg, full_span, Ltb)
         # v-shear table + FULL-table reads: measured fastest XLA prefix
         # (322 ms vs 368 c-space vs 594 anchored-window at B=944 l=1k —
         # the per-step dynamic-slice of a window costs more than reading
@@ -1551,7 +1604,12 @@ class BatchAligner:
                  for (q, t), k in zip(pairs_eff, k02)]
         tlen2 = np.fromiter((len(t) for t in t_eff), np.int32, B)
         off_eff = np.maximum(toff2, 0).astype(np.int32)
-        Ltb2 = _pad_len(max(int((off_eff + tlen2).max()), 1))
+        # coarse 512-step quantization: Ltb2 is DATA-dependent (window
+        # origins move batch to batch), and every fresh value compiles a
+        # new phase-2 program including its Mosaic resume kernel —
+        # measured as a ~70 s first-rep stall on otherwise-warm batches
+        Ltb2 = max(int((off_eff + tlen2).max()), 1)
+        Ltb2 = _pad_len(((Ltb2 + 511) // 512) * 512)
         if native.lib is not None:
             t2raw, t2p = native.build_and_pack(t_eff, tlen2, off_eff, Ltb2)
         else:
@@ -1583,7 +1641,7 @@ class BatchAligner:
             out = phase2(
                 *p2_args, cfg=self.cfg, B=B, Lq=Lq, Ltb_full=Ltb,
                 Ltb2=Ltb2, S0=self.s_switch, packed=packed2,
-                old_lanes=use_kernel)
+                old_lanes=use_kernel, flat=True)
         return self._queue_fetch(pairs, out)
 
     @staticmethod
@@ -1604,7 +1662,43 @@ class BatchAligner:
         Splitting the fetch lets a pipeline start the (latency-bound)
         token-slice dispatch of one batch while others still compute."""
         pairs, dev, spec = handle
-        big = "toks" if "toks" in dev else "buf"
+        big = ("mt" if "mt" in dev
+               else "toks" if "toks" in dev else "buf")
+        if big == "mt":
+            # merged meta|tokens: ONE fetch covers the scalars and (in
+            # the common case) the whole used token extent
+            nm = len(META_COLS)
+            head = _host_fetch(spec)
+            if head.ndim == 1:
+                # flat layout: [B*nm meta | cross-pair-packed tokens];
+                # the guess tracks the TOTAL used token count
+                B = len(pairs)
+                hd = nm * B
+                out = {"meta": head[:hd].reshape(B, nm),
+                       "_mt_head": head[hd:]}
+                tot = (int(out["meta"][:, M_TRIM].astype(np.int64).sum())
+                       if B else 0)
+                self._tok_guess[big] = _coarse(max(tot, 1) * 5 // 4)
+                need = min(dev["mt"].shape[0] - hd,
+                           _coarse(max(tot, 1)))
+                have = head.shape[0] - hd
+                if have >= need:
+                    trim = None
+                else:
+                    trim = dev["mt"][hd + have : hd + need]
+                    trim.copy_to_host_async()
+                return pairs, dev, out, big, spec, trim
+            out = {"meta": head[:, :nm], "_mt_head": head[:, nm:]}
+            n = int(out["meta"][:, M_TRIM].max()) if len(pairs) else 0
+            self._tok_guess[big] = _coarse(max(n, 1) * 5 // 4, 64)
+            cols = min(dev["mt"].shape[1] - nm, _coarse(max(n, 1), 64))
+            have = head.shape[1] - nm
+            if have >= cols:
+                trim = None
+            else:
+                trim = dev["mt"][:, nm + have : nm + cols]
+                trim.copy_to_host_async()
+            return pairs, dev, out, big, spec, trim
         small = {k: a for k, a in dev.items() if k != big}
         out = {k: _host_fetch(a) for k, a in small.items()}
         # fetch only the used token columns/rows (rounded so slice
@@ -1638,10 +1732,22 @@ class BatchAligner:
 
     def finish_tokens(self, handle2, fallback: bool = True):
         pairs, dev, out, big, spec, trim = handle2
-        parts = [_host_fetch(a) for a in (spec, trim) if a is not None]
-        axis = 1 if big == "toks" else 0
-        out[big] = parts[0] if len(parts) == 1 else np.concatenate(
-            parts, axis=axis)
+        if big == "mt":
+            toks = out.pop("_mt_head")
+            if trim is not None:
+                toks = np.concatenate(
+                    [toks, _host_fetch(trim)], axis=toks.ndim - 1)
+            if toks.ndim == 1:  # flat: split per pair by M_TRIM extents
+                ends = np.cumsum(
+                    out["meta"][:, M_TRIM].astype(np.int64))
+                out["toks_flat"] = (toks, ends)
+            else:
+                out["toks"] = toks
+        else:
+            parts = [_host_fetch(a) for a in (spec, trim) if a is not None]
+            axis = 1 if big == "toks" else 0
+            out[big] = parts[0] if len(parts) == 1 else np.concatenate(
+                parts, axis=axis)
         # release the device buffers eagerly — retry tiers of long
         # sequences allocate multi-GB programs and must not stack up
         # behind Python GC
@@ -1660,11 +1766,17 @@ class BatchAligner:
         stats happen in AlignmentResult.process, as in the reference)."""
 
         results: List[Optional[AlignmentResult]] = []
+        if "mt" in out:  # merged meta|tokens (direct finish of a raw dict)
+            nm = len(META_COLS)
+            out = {"meta": out["mt"][:, :nm], "toks": out["mt"][:, nm:]}
         # Token streams arrive either device-compacted ("toks") or as the
         # raw three-part stream (start token, iteration-major loop buffer,
         # tail) to assemble here.  Stats were computed on device; op
         # decoding is lazy (first .ops access).
-        if "toks" in out:
+        if "toks_flat" in out:
+            flat_toks, ends = out["toks_flat"]
+            buf = np.split(flat_toks, ends[:-1]) if len(ends) else []
+        elif "toks" in out:
             buf = out["toks"]
         else:
             # size by the device tensors, not len(pairs): mesh-padded

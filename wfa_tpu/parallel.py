@@ -125,11 +125,10 @@ def dp_align_full_fn(cfg: EngineConfig, mesh: Mesh, B: int, Lq: int,
     assert B % mesh.devices.size == 0
     _, compact = _token_plan(cfg.s_cap, cfg.penalties, Lq, Ltb)
     if compact:
-        tok_specs = {"toks": P("dp")}  # device-compacted tokens
+        out_specs = {"mt": P("dp")}  # merged meta|compacted-tokens
     else:
-        tok_specs = {"tok0": P("dp"), "buf": P(None, "dp", None),
-                     "tail": P("dp")}
-    out_specs = {"meta": P("dp"), **tok_specs}
+        out_specs = {"meta": P("dp"), "tok0": P("dp"),
+                     "buf": P(None, "dp", None), "tail": P("dp")}
 
     @functools.partial(
         shard_map,
@@ -233,10 +232,10 @@ def dp_semi2_phase2_fn(cfg: EngineConfig, mesh: Mesh, B: int, Lq: int,
     assert B % mesh.devices.size == 0
     _, compact = _token_plan(cfg.s_cap, cfg.penalties, Lq, Ltb_full)
     if compact:
-        tok_specs = {"toks": P("dp")}
+        out_specs2 = {"mt": P("dp")}
     else:
-        tok_specs = {"tok0": P("dp"), "buf": P(None, "dp", None),
-                     "tail": P("dp")}
+        out_specs2 = {"meta": P("dp"), "tok0": P("dp"),
+                      "buf": P(None, "dp", None), "tail": P("dp")}
     aux_spec = (P(None, None, None, "dp") if old_lanes
                 else _SEMI2_EXPORT_SPECS["aux_old"])
     in_specs = (P("dp"), P("dp"),
@@ -247,7 +246,7 @@ def dp_semi2_phase2_fn(cfg: EngineConfig, mesh: Mesh, B: int, Lq: int,
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=in_specs,
-        out_specs={"meta": P("dp"), **tok_specs}, check_vma=False,
+        out_specs=out_specs2, check_vma=False,
     )
     def _sharded(seq2_s, lens2_s, wm_s, wi_s, wd_s, ai_s, bm_s, bie_s,
                  m1_s, ao_s):

@@ -217,9 +217,12 @@ class AlignmentPipeline:
                 # would overshoot HBM by ~4x.
                 cell = 2 if full_span + 2 <= 4095 else 4
                 vw_words = min(1024, max(128, lq)) // 64 + 2
-                per_pair = (3 * semi2_s0 * full_span * cell
-                            + 2 * 3 * vw_words * full_span * 4
-                            + 16 * full_span * 4
+                # sizing upper bound: the submit pads Kf to a 512
+                # multiple for KC=512 chunk tiles (semi2.prefix_kf)
+                fs = _round_up(full_span, 512)
+                per_pair = (3 * semi2_s0 * fs * cell
+                            + 2 * 3 * vw_words * fs * 4
+                            + 16 * fs * 4
                             + s_cap * k_win * 8 + k_win * lw * 24)
             else:
                 # XLA prefix: six int32 [S0+1, B, Kf] state tensors +
@@ -262,16 +265,13 @@ class AlignmentPipeline:
         as the full span, an upper bound, so this can only
         false-negative — never model the small kernel footprint while
         the big XLA prefix actually runs)."""
-        if os.environ.get("WFA_SEMI2_KERNEL_PREFIX") != "1":
-            return False
         from .engine import EngineConfig
-        from .pallas_engine import prefix_kernel_fits, supports_prefix
+        from .semi2 import kernel_prefix_enabled
 
         kcfg = EngineConfig(
             penalties=self.cfg.penalties, global_alignment=False,
             adaptive=self.cfg.adaptive, k_win=full_span, s_cap=8)
-        return (supports_prefix(kcfg)
-                and prefix_kernel_fits(kcfg, full_span, full_span))
+        return kernel_prefix_enabled(kcfg, full_span, full_span)
 
     def _engine(self, k_win: int, s_cap: int, w_win, engine) -> BatchAligner:
         key = (k_win, s_cap, w_win, engine)

@@ -52,6 +52,52 @@ M1_DONE, M1_FS, M1_TERM, M1_EFOUND, M1_ES, M1_EK, M1_ECELL, M1_OVF, \
     M1_K02 = range(9)
 
 
+def kernel_prefix_enabled(cfg: EngineConfig, Kf: int, Ltb: int) -> bool:
+    """Whether the two-phase submit runs phase 1 on the Pallas prefix
+    kernel (shared by engine._submit_semi2 and the pipeline's footprint
+    model — the two MUST agree or batch sizing models the wrong path).
+
+    Default: on whenever the fast-compiling CHUNKED kernel applies (its
+    penalty gate) and the span fits VMEM.  WFA_SEMI2_KERNEL_PREFIX=0
+    forces the XLA prefix; =1 additionally opts degenerate-penalty
+    configs into the whole-K EXPORT kernel, whose Mosaic compile takes
+    tens of minutes per shape (long-lived servers only).
+    """
+    import os
+
+    from .pallas_engine import prefix_kernel_fits, supports_prefix
+    from .pallas_prefix import supports_prefix_chunked
+
+    env = os.environ.get("WFA_SEMI2_KERNEL_PREFIX")
+    if env == "0":
+        return False
+    if not (supports_prefix(cfg) and prefix_kernel_fits(cfg, Kf, Ltb)):
+        return False
+    return env == "1" or supports_prefix_chunked(cfg)
+
+
+def prefix_kf(cfg: EngineConfig, full_span: int, Ltb: int) -> int:
+    """Diagonal-axis padding of the kernel-prefix window.
+
+    The chunked prefix kernel (pallas_prefix) picks the largest chunk
+    KC <= 512 that divides Kf; a bare 128-multiple like 2176 = 128*17
+    forces KC=128 — 17 tiny chunk passes per wide step instead of 5
+    [512, 128]-tile passes.  Pad Kf to a 512-multiple whenever the
+    chunked kernel will run and the padded span still fits VMEM; the
+    extra diagonals sit outside every live band, so the dynamic chunk
+    bounds skip them once the band collapses.
+    """
+    from .pallas_engine import prefix_kernel_fits
+    from .pallas_prefix import supports_prefix_chunked
+
+    kf = ((full_span + 127) // 128) * 128
+    if supports_prefix_chunked(cfg) and kf % 512:
+        kf512 = ((full_span + 511) // 512) * 512
+        if prefix_kernel_fits(cfg, kf512, Ltb):
+            return kf512
+    return kf
+
+
 def _rebase_rows(rows: jnp.ndarray, d: jnp.ndarray, K2: int) -> jnp.ndarray:
     """Per-pair left shift: out[b, j] = rows[b, j + d[b]], 0 <= d < Kf.
 
@@ -363,7 +409,7 @@ prefix_export2 = functools.partial(
 def _phase2_impl(
     seq2, lens2, win_m, win_i, win_d, ainit, b_m, b_ie, meta1, aux_old,
     *, cfg: EngineConfig, B: int, Lq: int, Ltb_full: int, Ltb2: int,
-    S0: int, packed: bool, old_lanes: bool = False,
+    S0: int, packed: bool, old_lanes: bool = False, flat: bool = False,
 ):
     """Narrow-window resume + dual-aux backtrace + output packing.
 
@@ -401,12 +447,12 @@ def _phase2_impl(
         qlen.astype(jnp.int32), tlen.astype(jnp.int32), done, overflow,
         cfg=cfg, Lq=Lq, Ltb=Ltb_full, b_stride=Bp, pairs_on_lanes=True,
         aux_old=aux_old, k0_old=k0_old, s_split=S0,
-        old_pairs_on_lanes=old_lanes,
+        old_pairs_on_lanes=old_lanes, flat=flat,
     )
 
 
 phase2 = functools.partial(
     jax.jit,
     static_argnames=("cfg", "B", "Lq", "Ltb_full", "Ltb2", "S0",
-                     "packed", "old_lanes"),
+                     "packed", "old_lanes", "flat"),
 )(_phase2_impl)
