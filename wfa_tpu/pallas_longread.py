@@ -87,7 +87,10 @@ def _block_sizing(S: int, K: int, B=None):
     while bb > 8 and ((B is not None and B <= bb // 2)
                       or S * K * bb * 6 > (3 << 30)):
         bb //= 2
-    wv = min(64, max(16, (7 << 20) // (3 * bb * K * 4)))
+    # ~9MB of table window: with per-8-pair-group windows the spread a
+    # window must cover is the group's, so wv bounds the tolerable
+    # within-group progress spread (wv * 64 bases) — wider is safer
+    wv = min(64, max(16, (9 << 20) // (3 * bb * K * 4)))
     return bb_pad, bb, wv
 
 
@@ -278,13 +281,6 @@ def _kernel(
             ob.at[slot],
             aux_ref.at[comp, pl.ds(c * CH, CH), pl.ds(blk * BB, BB)],
             sem.at[slot, comp],
-        )
-
-    def table_dma(idx, src_ref, dst_ref, base):
-        return pltpu.make_async_copy(
-            src_ref.at[pl.ds(blk * BB, BB), pl.ds(base * K, WV * K)],
-            dst_ref,
-            tsem.at[idx],
         )
 
     def delete_range_asc(dl, dh, lo, hi):
@@ -556,24 +552,73 @@ def _kernel(
                 lambda w: fsa_ref[:, w * K:(w + 1) * K],
                 w2)
         else:
-            # slide the VMEM window when any live lane leaves it; offsets
-            # only grow, so the window base is monotone.  Pairs whose
-            # spread exceeds the window are marked overflow and excluded.
-            wmax = jnp.max(jnp.where(act0, w2, -1))
-            wmin = jnp.clip(jnp.min(jnp.where(act0, w2, Lw2)),
-                            0, Lw2 - WV)
-            refill = wmax >= wbase + WV
+            # PER-GROUP sliding VMEM windows: pairs advance in groups of
+            # G=8 (the HBM sublane tiling — DMA row slices must be
+            # 8-aligned), each group's window anchored at ITS OWN
+            # slowest member.  A single block-shared window (anchored at
+            # the slowest pair of all 64) caps the tolerable cross-pair
+            # progress spread at WV 64-base groups — measured at
+            # l=50k/e=0.05 the spread grows to thousands of bases and
+            # 113/128 pairs outran a shared window (only the per-block
+            # minima survived).  8-pair groups cut the governing spread
+            # ~8x; stragglers that still exceed WV retry a wider tier.
+            G = 8
+            wmaxp = jnp.max(jnp.where(act0, w2, -1), axis=1, keepdims=True)
+            wminp = jnp.clip(
+                jnp.min(jnp.where(act0, w2, Lw2), axis=1, keepdims=True),
+                0, Lw2 - WV)
+            refillp = wmaxp >= wbase + WV  # [BB, 1]
+            any_ref = jnp.any(refillp)
+            # group-min base / group-any refill, broadcast back per pair
+            # (BB//G rank-0 masked reduces on [BB,1] vectors — cheap)
+            rows = _iota((BB, 1), 0)
+            gid = rows >> 3
+            act_pair = wmaxp >= 0
+            gbase = jnp.full((BB, 1), 0, jnp.int32)
+            gref = jnp.zeros((BB, 1), jnp.int32)
+            for g in range(BB // G):
+                sel = gid == g
+                m = jnp.min(jnp.where(sel & act_pair, wminp, Lw2 - WV))
+                f = jnp.max(jnp.where(sel, refillp.astype(jnp.int32), 0))
+                gbase = jnp.where(sel, jnp.maximum(m, 0), gbase)
+                gref = jnp.where(sel, f, gref)
 
-            @pl.when(refill)
+            @pl.when(any_ref)
             def _():
-                table_dma(0, whi_ref, twhi, wmin).start()
-                table_dma(1, wlo_ref, twlo, wmin).start()
-                table_dma(2, fsa_ref, tfsa, wmin).start()
-                table_dma(0, whi_ref, twhi, wmin).wait()
-                table_dma(1, wlo_ref, twlo, wmin).wait()
-                table_dma(2, fsa_ref, tfsa, wmin).wait()
+                def refill_one(g, tok):
+                    sel = gid == g
+                    flag = jnp.max(jnp.where(sel, gref, 0))
+                    nb = jnp.max(jnp.where(sel, gbase, 0))
 
-            wbase = jnp.where(refill, wmin, wbase)
+                    @pl.when(flag > 0)
+                    def _():
+                        row = pl.ds(blk * BB + g * G, G)
+                        span = pl.ds(nb * K, WV * K)
+                        dst = pl.ds(g * G, G)
+                        pltpu.make_async_copy(
+                            whi_ref.at[row, span], twhi.at[dst],
+                            tsem.at[0]).start()
+                        pltpu.make_async_copy(
+                            wlo_ref.at[row, span], twlo.at[dst],
+                            tsem.at[1]).start()
+                        pltpu.make_async_copy(
+                            fsa_ref.at[row, span], tfsa.at[dst],
+                            tsem.at[2]).start()
+                        pltpu.make_async_copy(
+                            whi_ref.at[row, span], twhi.at[dst],
+                            tsem.at[0]).wait()
+                        pltpu.make_async_copy(
+                            wlo_ref.at[row, span], twlo.at[dst],
+                            tsem.at[1]).wait()
+                        pltpu.make_async_copy(
+                            fsa_ref.at[row, span], tfsa.at[dst],
+                            tsem.at[2]).wait()
+
+                    return tok
+
+                lax.fori_loop(0, BB // G, refill_one, 0)
+
+            wbase = jnp.where(any_ref & (gref > 0), gbase, wbase)
             wbase_n = wbase
             outrun = act0 & (w2 >= wbase_n + WV)
             overflow = jnp.where(
@@ -737,7 +782,8 @@ def _kernel(
         return (s < S - 1) & jnp.any((done == 0) & (overflow == 0))
 
     z1 = jnp.zeros((BB, 1), jnp.int32)
-    carry = (jnp.int32(0), z1, ovf0, z1, z1, jnp.int32(-WV),
+    carry = (jnp.int32(0), z1, ovf0, z1, z1,
+             jnp.full((BB, 1), -WV, jnp.int32),
              m_lo, m_hi, m_ex, i_lo, i_hi, i_ex, d_lo, d_hi, d_ex)
     carry = lax.while_loop(cond, body, carry)
     s_exit, done, overflow, final_s, term_cell = carry[:5]
