@@ -1,10 +1,11 @@
-"""Pipeline tier routing for the rebased-aux kernel modes (VERDICT r2
-item 5's pipeline half): over-budget long global reads take the main
-kernel with a 256-row rebased aux window ("auto:kw256"), mid-length
-reads whose offsets exceed 13 bits take pure value-rebase
-("auto:kw<k_win>"), and configs beyond both fall to the pairs-on-
-sublanes long-read kernel.  Routing decisions only — kernel
-bit-exactness lives in tests/test_rebase_aux.py."""
+"""Pipeline tier routing for the long-read kernel modes: every global
+read past l=4096 takes the pairs-on-sublanes long-read kernel (its
+per-8-pair-group stop-table windows tolerate the cross-pair progress
+spread long lengths develop — the main kernel's block-shared window
+measured 78-116/128 outrun-overflows at l=10k-50k), and the narrow
+just-past-int16 band keeps the main kernel with value-rebased aux.
+Routing decisions only — kernel bit-exactness lives in
+tests/test_rebase_aux.py and tests/test_long_pairs.py."""
 
 import dataclasses
 
@@ -20,23 +21,32 @@ def _cfg(**kw):
                           adaptive=ADA, n_devices=1, **kw)
 
 
-def test_long_reads_route_to_windowed_rebase():
+def test_long_reads_route_to_longread_kernel():
     pipe = AlignmentPipeline(_cfg())
-    k_win, s_cap, _, b_cap, engine, serial, _bb = pipe._tier_caps(50000, 50000, 0)
-    assert engine == "auto:kw256"
+    k_win, s_cap, _, b_cap, engine, serial, _bb = pipe._tier_caps(
+        50000, 50000, 0)
+    assert engine == "pallas_long"
     assert serial  # multi-GB batches must drain one at a time
-    # the kernel pads to 128-lane blocks: the cap is a whole block, not
-    # a partial one that wastes padded lanes
-    assert b_cap >= 128 and b_cap % 128 == 0
+    # tier 0's score cap must cover e=0.1 workloads (score ~0.53*l) so
+    # they don't burn a doomed full-length pass before tier 1
+    assert s_cap >= int(0.54 * 50000)
+    # whole blocks: the kernel pads batches to its block multiple
+    assert b_cap >= 64 and b_cap % 64 == 0
 
 
-def test_midlength_routes_to_pure_value_rebase():
-    """l past the 13-bit offset limit but within budget at full width:
-    KW == k_win (no row windowing, int16 cells via value rebase)."""
+def test_midlength_routes_to_longread_kernel():
     pipe = AlignmentPipeline(_cfg())
-    k_win, _, _, _, engine, _, _bb = pipe._tier_caps(4300, 4300, 0)
-    assert engine == f"auto:kw{k_win}" or engine == "auto:kw256"
-    assert engine.startswith("auto:kw")
+    for l in (10000, 20000):
+        engine = pipe._tier_caps(l, l, 0)[4]
+        assert engine == "pallas_long", (l, engine)
+
+
+def test_just_past_int16_band_keeps_main_kernel():
+    """l past the 13-bit offset limit but at most 4096: the main kernel
+    with pure value rebase (KW == k_win, int16 cells)."""
+    pipe = AlignmentPipeline(_cfg())
+    k_win, _, _, _, engine, _, _bb = pipe._tier_caps(4000, 4000, 0)
+    assert engine == f"auto:kw{k_win}"
 
 
 def test_short_reads_route_plain():

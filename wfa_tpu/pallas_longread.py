@@ -82,15 +82,21 @@ def _block_sizing(S: int, K: int, B=None):
     while bb > 8 and S * K * bb * 6 > (6 << 30):
         bb //= 2
     bb_pad = bb
-    # shrink for small or memory-heavy batches so block padding stops
-    # wasting work (6 B/cell: 3 int16 aux planes)
-    while bb > 8 and ((B is not None and B <= bb // 2)
-                      or S * K * bb * 6 > (3 << 30)):
+    # shrink for small batches so block padding stops wasting work
+    # (6 B/cell: 3 int16 aux planes).  Do NOT shrink merely for deep
+    # s_cap: the step cost is latency-bound, nearly flat in bb
+    # (measured bb=32 vs 64 at l=50k: ~same s/step), so halving the
+    # block halves per-pair throughput.
+    while bb > 8 and B is not None and B <= bb // 2:
         bb //= 2
-    # ~9MB of table window: with per-8-pair-group windows the spread a
-    # window must cover is the group's, so wv bounds the tolerable
-    # within-group progress spread (wv * 64 bases) — wider is safer
-    wv = min(64, max(16, (9 << 20) // (3 * bb * K * 4)))
+    # ~18MB of table window: with per-8-pair-group windows the spread a
+    # window must cover is the group's, and wv bounds the tolerable
+    # within-group progress spread (wv * 64 bases).  Measured at
+    # l=50k/e=0.05 (bb=64, K=384): wv=32 left 14/64 outruns, wv=64 left
+    # ZERO, and the step cost was flat in wv (0.181 -> 0.187 s/block
+    # run) — the select chain is not the step cost driver, so buy the
+    # widest window VMEM affords.
+    wv = min(64, max(16, (18 << 20) // (3 * bb * K * 4)))
     return bb_pad, bb, wv
 
 
@@ -690,7 +696,7 @@ def _kernel(
                 jnp.where(marked & (jj < first_good), jj, -_BIG),
                 axis=1, keepdims=True)
             any_marked = jnp.any(marked, axis=1)[:, None]
-            any_good = jnp.any(good, axis=1)[:, None]
+            any_good = first_good < _BIG  # free: reuse the min reduce
             last_good = jnp.max(jnp.where(good, jj, -_BIG), axis=1,
                                 keepdims=True)
             new_lo = jnp.where(last_mark > -_BIG, k0 + last_mark + 1, lo_ms)
@@ -741,11 +747,13 @@ def _kernel(
         ai0 = jnp.where(wrote & (row_i != 0), ai_win[pl.ds(slot_sa, 1)][0], 0)
         ad0 = jnp.where(wrote & (row_d != 0), ad_win[pl.ds(slot_sa, 1)][0], 0)
 
-        def vmin(a):
-            v = a >> TYPE_BITS
-            return jnp.min(jnp.where(a > 0, v, _BIG), axis=1, keepdims=True)
-
-        base = jnp.minimum(jnp.minimum(vmin(am0), vmin(ai0)), vmin(ad0))
+        # ONE cross-lane reduce for the shared base (elementwise 3-way
+        # min first): cross-lane reduces are this layout's costly op
+        vm = jnp.minimum(
+            jnp.minimum(jnp.where(am0 > 0, am0 >> TYPE_BITS, _BIG),
+                        jnp.where(ai0 > 0, ai0 >> TYPE_BITS, _BIG)),
+            jnp.where(ad0 > 0, ad0 >> TYPE_BITS, _BIG))
+        base = jnp.min(vm, axis=1, keepdims=True)
         base = jnp.maximum(jnp.where(base >= _BIG, 0, base), 0)
         # accumulate [S, BB] (dynamic-row writes are cheap; the blocked
         # [BB, S] output is filled by one transpose at exit)

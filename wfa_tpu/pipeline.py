@@ -132,9 +132,13 @@ class AlignmentPipeline:
             + cfg.penalties.gap_ext * (abs(lq - lt) + 1)
             + 2
         )
-        # short sequences afford a roomier tier 0 (memory is cheap there),
-        # saving the two-pass cost for 10%-error workloads
-        frac = 0.55 if longest <= 4096 else 0.35
+        # a roomier tier 0 saves the two-pass cost for 10%-error
+        # workloads (measured scores: 0.29*l at e=0.05, 0.53*l at e=0.1
+        # — l=50k/e=0.1 finishes at 26.5k, so 0.35*l sent EVERY pair
+        # through a doomed full-length tier-0 pass).  s_cap headroom is
+        # nearly free in time (the loop exits when the batch finishes)
+        # and the memory models bound the batch size by it.
+        frac = 0.55
         s1 = max(cfg.s_cap_base, _round_up(int(longest * frac), 128))
         s_cap = (s1, 3 * s1, _round_up(worst + 2, 8))[min(tier, 2)]
         s_cap = min(s_cap, _round_up(worst + 2, 8))
@@ -149,13 +153,11 @@ class AlignmentPipeline:
         # w_win-word slice per step
         engine = "jax" if (longest > 4096 and tier >= 2) else "auto"
         # the main kernel's 128-lane block minimum makes its aux history
-        # 3*s_cap*k_win*cell*128 bytes even for tiny batches.  Long
-        # global reads rebase the aux stream (EngineConfig.aux_kw): per
-        # score only a 256-row window of the live band, int16 at any
-        # length — 128-lane blocks then serve l=50k+ within budget.
-        # Configs beyond even that (l~100k at high error) route to the
-        # pairs-on-sublanes long-read kernel (8-pair blocks), or the
-        # JAX engine where no kernel applies
+        # 3*s_cap*k_win*cell*128 bytes even for tiny batches; very long
+        # reads route to the pairs-on-sublanes long-read kernel (whose
+        # per-8-pair-group table windows also tolerate the cross-pair
+        # progress spread those lengths develop), or the JAX engine
+        # where no kernel applies
         cell_b = 2 if max(lq, lt) + k_win <= 4095 else 4
         pallas_ok = (engine != "jax" and cfg.options.global_alignment
                      and k_win <= 512)
@@ -167,18 +169,21 @@ class AlignmentPipeline:
         # SAME model sizes b_cap below, so admission here guarantees at
         # least one whole padded 128-lane block fits the budget.
         pp_kw = lambda aw: s_cap * aw * 7 + k_win * lw * 24
-        if 3 * s_cap * k_win * cell_b * 128 > cfg.hbm_budget:
-            kw = min(256, k_win)
-            if pallas_ok and pp_kw(kw) * 128 <= cfg.hbm_budget:
-                engine = f"auto:kw{kw}"
-                aux_w, cell_b = kw, 2
-            elif pallas_ok:
-                engine = "pallas_long"
-            else:
-                engine = "jax"
+        if pallas_ok and longest > 4096:
+            # long reads: the main kernel's BLOCK-shared streaming table
+            # window cannot cover the cross-pair progress spread these
+            # lengths develop (measured outrun-overflows: 78/128 at
+            # l=10k, 116/128 at l=20k, 113/128 at l=50k — the survivors
+            # were the pairs nearest each block's minimum progress) —
+            # the pairs-on-sublanes kernel's per-8-pair-group windows
+            # can, so it IS the long-read fast path
+            engine = "pallas_long"
+        elif 3 * s_cap * k_win * cell_b * 128 > cfg.hbm_budget:
+            engine = "jax"
         elif pallas_ok and cell_b == 4 and pp_kw(k_win) * 128 <= cfg.hbm_budget:
             # value-rebase alone (KW == k_win): int16 aux cells halve
-            # the dominant history DMA stream for mid-length reads
+            # the dominant history DMA stream for the narrow
+            # just-past-int16 band (longest in (4095-k_win, 4096])
             engine = f"auto:kw{k_win}"
             cell_b = 2
         if longest <= 4096 and k_win <= 512:
@@ -233,8 +238,12 @@ class AlignmentPipeline:
                             + full_span * lw * 8
                             + s_cap * k_win * 8 + k_win * lw * 24)
         elif engine == "pallas_long":
-            # value-rebased int16 aux at any length (pallas_longread)
-            mult, blk = 8, 32
+            # value-rebased int16 aux at any length (pallas_longread).
+            # mult 7 over the 6 B/cell history covers the aux_base rows
+            # and VMEM slack; the table term's 24 B/word-cell covers the
+            # build transient (true l=50k peak ≈ 65 MB/pair vs 76
+            # modeled) — mult 8 needlessly split 128-pair batches
+            mult, blk = 7, 64
             per_pair = s_cap * k_win * mult + k_win * lw * 24
         elif pallas_likely:
             # rebased-aux engines (auto:kw) stream aux_w-row int16 rows
@@ -490,15 +499,23 @@ class AlignmentPipeline:
         return pool
 
     def _submit_pool(self):
-        """Lazy single-worker pool for pack+upload+dispatch (uploads
-        through the tunnel block, so they get their own lane; ONE worker
-        keeps submissions ordered)."""
+        """Lazy submit pool for pack+upload+dispatch (uploads through
+        the tunnel block, so they get their own lane).
+
+        TWO workers off-mesh: the two-phase semi-global submit has a
+        host mid-point (meta1 fetch + target re-placement) during which
+        the device would otherwise idle — a second worker keeps the
+        next batch's phase 1 queued behind it.  Under a mesh ONE worker
+        keeps the dispatch order deterministic (multi-host shard_map
+        requires every process to enqueue the same programs in the same
+        order)."""
         pool = self._spool
         if pool is None:
             from concurrent.futures import ThreadPoolExecutor
 
             pool = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="wfa-submit")
+                max_workers=1 if self._mesh is not None else 2,
+                thread_name_prefix="wfa-submit")
             self._spool = pool
         return pool
 
