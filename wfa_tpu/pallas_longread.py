@@ -76,7 +76,7 @@ def _block_sizing(S: int, K: int, B=None):
     gate — a desync between the two reintroduces hardware-only compile
     failures.  ``bb_pad`` is the block multiple the batch is padded to
     (the pre-shrink size); ``bb`` the executed block; ``wv`` the table
-    window (groups), sized to a ~7MB VMEM budget.  ``B`` = batch size;
+    window (groups; see the inline budget note).  ``B`` = batch size;
     None (the gate) models the largest block the sizing can produce."""
     bb = B_BLK
     while bb > 8 and S * K * bb * 6 > (6 << 30):
@@ -209,19 +209,22 @@ def _kernel(
     lane_b = _iota((BB, WB), 1)
 
     # ---- init windows & band slots (seeding, wfa.go:143-184) ----
-    m_win[...] = jnp.zeros((WM, BB, K), jnp.int32)
-    i_win[...] = jnp.zeros((WE, BB, K), jnp.int32)
-    d_win[...] = jnp.zeros((WE, BB, K), jnp.int32)
-    m_win[0] = seed0_ref[:]
+    # windows are FLATTENED 2-D [slots*BB, K]: dynamic-slot access on
+    # 3-D VMEM refs relayouts per load/store — 2-D sublane slices with
+    # computed starts are near-free (the main kernel's pattern)
+    m_win[...] = jnp.zeros((WM * BB, K), jnp.int32)
+    i_win[...] = jnp.zeros((WE * BB, K), jnp.int32)
+    d_win[...] = jnp.zeros((WE * BB, K), jnp.int32)
+    m_win[pl.ds(0, BB)] = seed0_ref[:]
     if 0 < X < WM:
-        m_win[X] = seedx_ref[:]
+        m_win[pl.ds(X * BB, BB)] = seedx_ref[:]
     # aux plane (backtrace pre-extension offsets): seed cells have no
     # sources (the reference's from-itself break), so their aux value is
     # just the tag bits
-    am_win[...] = jnp.zeros((2, BB, K), jnp.int32)
-    ai_win[...] = jnp.zeros((2, BB, K), jnp.int32)
-    ad_win[...] = jnp.zeros((2, BB, K), jnp.int32)
-    am_win[0] = seed0_ref[:] & 7
+    am_win[...] = jnp.zeros((2 * BB, K), jnp.int32)
+    ai_win[...] = jnp.zeros((2 * BB, K), jnp.int32)
+    ad_win[...] = jnp.zeros((2 * BB, K), jnp.int32)
+    am_win[pl.ds(0, BB)] = seed0_ref[:] & 7
 
     def band_init(lo_v, hi_v, ex_v, slot):
         sel = lane_b == slot
@@ -263,7 +266,7 @@ def _kernel(
                          keepdims=True) > 0) & okd
         lo_kr = jnp.where(ex_sp, lo_sp, 0)
         hi_kr = jnp.where(ex_sp, hi_sp, 0)
-        row = win[pl.ds(slot, 1)][0]  # [BB, K]
+        row = win[pl.ds(slot * BB, BB)]  # [BB, K]
         found = ex_sp & (ks >= lo_sp) & (ks <= hi_sp) & (row > 0)
         # masked PACKED value: tags are 1..6, so pv > 0 <=> found and
         # pv >> TYPE_BITS is the offset — one tensor carries both through
@@ -284,7 +287,7 @@ def _kernel(
         # plane-major so each DMA row is contiguous)
         slot = lax.rem(c, 2)
         return pltpu.make_async_copy(
-            ob.at[slot],
+            ob.at[pl.ds(slot * CH, CH)],
             aux_ref.at[comp, pl.ds(c * CH, CH), pl.ds(blk * BB, BB)],
             sem.at[slot, comp],
         )
@@ -437,7 +440,7 @@ def _kernel(
         slot_s2e = lax.rem(s2, WE)
         at_seed = (s2 == X) if X > 0 else False
         if X > 0:
-            cur = m_win[pl.ds(slot_s2, 1)][0]
+            cur = m_win[pl.ds(slot_s2 * BB, BB)]
             row_m_old = jnp.where(at_seed, cur, 0)
             ex_m_old = jnp.where(at_seed, slot_read(m_ex, slot_s2), 0) > 0
             lo_m_old = slot_read(m_lo, slot_s2)
@@ -451,21 +454,28 @@ def _kernel(
         aux_m_new = jnp.where(wr_m, (aux_m_val << TYPE_BITS) | tag_m,
                               row_m_old & 7)
 
-        # the lo min-reduces double as existence tests (empty -> _BIG),
-        # saving three dedicated any-reduces (cross-lane reduces are the
-        # expensive op in this layout)
-        lo_i_n = jnp.min(jnp.where(wr_i, ks, _BIG), axis=1, keepdims=True)
-        hi_i_n = jnp.max(jnp.where(wr_i, ks, -_BIG), axis=1, keepdims=True)
-        lo_d_n = jnp.min(jnp.where(wr_d, ks, _BIG), axis=1, keepdims=True)
-        hi_d_n = jnp.max(jnp.where(wr_d, ks, -_BIG), axis=1, keepdims=True)
-        lo_m_raw = jnp.min(jnp.where(wr_m, ks, _BIG), axis=1, keepdims=True)
+        # ONE batched cross-lane reduce for all six band extremes
+        # (maxes as min of the negation): cross-lane reduces are this
+        # layout's costly op and their cost is latency-bound (~fixed per
+        # op), so six [BB, K] reduces collapse into one [6*BB, K] pass.
+        # The lo mins double as existence tests (empty -> _BIG).
+        mins = jnp.min(jnp.concatenate([
+            jnp.where(wr_i, ks, _BIG), jnp.where(wr_i, -ks, _BIG),
+            jnp.where(wr_d, ks, _BIG), jnp.where(wr_d, -ks, _BIG),
+            jnp.where(wr_m, ks, _BIG), jnp.where(wr_m, -ks, _BIG),
+        ], axis=0), axis=1, keepdims=True)
+        lo_i_n = mins[0 * BB:1 * BB]
+        hi_i_n = -mins[1 * BB:2 * BB]
+        lo_d_n = mins[2 * BB:3 * BB]
+        hi_d_n = -mins[3 * BB:4 * BB]
+        lo_m_raw = mins[4 * BB:5 * BB]
         any_i = lo_i_n < _BIG
         any_d = lo_d_n < _BIG
         any_m = lo_m_raw < _BIG
         lo_m_n = jnp.minimum(lo_m_raw,
                              jnp.where(ex_m_old, lo_m_old, _BIG))
         hi_m_n = jnp.maximum(
-            jnp.max(jnp.where(wr_m, ks, -_BIG), axis=1, keepdims=True),
+            -mins[5 * BB:6 * BB],
             jnp.where(ex_m_old, hi_m_old, -_BIG))
 
         frz = ~live
@@ -473,13 +483,13 @@ def _kernel(
         # `live`, so frozen lanes get 0 (i/d/aux-i/aux-d) or fall through
         # to row_m_old / row_m_old & 7 (m/aux-m), which is itself
         # at_seed-masked — exactly the frozen-lane requirement
-        i_win[pl.ds(slot_s2e, 1)] = row_i_new[None]
-        d_win[pl.ds(slot_s2e, 1)] = row_d_new[None]
-        m_win[pl.ds(slot_s2, 1)] = row_m_new[None]
+        i_win[pl.ds(slot_s2e * BB, BB)] = row_i_new
+        d_win[pl.ds(slot_s2e * BB, BB)] = row_d_new
+        m_win[pl.ds(slot_s2 * BB, BB)] = row_m_new
         slot_s2a = lax.rem(s2, 2)
-        ai_win[pl.ds(slot_s2a, 1)] = aux_i_new[None]
-        ad_win[pl.ds(slot_s2a, 1)] = aux_d_new[None]
-        am_win[pl.ds(slot_s2a, 1)] = aux_m_new[None]
+        ai_win[pl.ds(slot_s2a * BB, BB)] = aux_i_new
+        ad_win[pl.ds(slot_s2a * BB, BB)] = aux_d_new
+        am_win[pl.ds(slot_s2a * BB, BB)] = aux_m_new
 
         i_lo = slot_write(i_lo, slot_s2e,
                           jnp.where(frz | ~any_i, _BIG, lo_i_n))
@@ -542,7 +552,7 @@ def _kernel(
         # One select-chain pass over the 64-bit stop words plus a 64-bit
         # clz; runs crossing the 64-bit group resolve via the
         # first-stop-after table.  No gathers, no data-dependent loop.
-        cell = m_win[pl.ds(slot_s, 1)][0]
+        cell = m_win[pl.ds(slot_s * BB, BB)]
         off = cell >> TYPE_BITS
         valid = (cell > 0) & (ks >= lo_ms) & (ks <= hi_ms) & ex_ms & live0
         h0 = off
@@ -569,14 +579,19 @@ def _kernel(
             # minima survived).  8-pair groups cut the governing spread
             # ~8x; stragglers that still exceed WV retry a wider tier.
             G = 8
-            wmaxp = jnp.max(jnp.where(act0, w2, -1), axis=1, keepdims=True)
-            wminp = jnp.clip(
-                jnp.min(jnp.where(act0, w2, Lw2), axis=1, keepdims=True),
-                0, Lw2 - WV)
+            wmm = jnp.min(jnp.concatenate([
+                jnp.where(act0, w2, Lw2),
+                jnp.where(act0, -w2, _BIG),
+            ], axis=0), axis=1, keepdims=True)  # one batched reduce
+            wminp = jnp.clip(wmm[:BB], 0, Lw2 - WV)
+            wmaxp = -wmm[BB:]  # empty lane-set -> -_BIG (never refills)
             refillp = wmaxp >= wbase + WV  # [BB, 1]
             any_ref = jnp.any(refillp)
             # group-min base / group-any refill, broadcast back per pair
-            # (BB//G rank-0 masked reduces on [BB,1] vectors — cheap)
+            # (BB//G rank-0 masked reduces on [BB,1] vectors — cheap;
+            # moving these under the refill branch via a VMEM-scratch
+            # wbase measured SLOWER, 0.228 vs 0.185 s/block: the scratch
+            # round-trip serializes the step)
             rows = _iota((BB, 1), 0)
             gid = rows >> 3
             act_pair = wmaxp >= 0
@@ -676,8 +691,8 @@ def _kernel(
         live = (done == 0) & (overflow == 0)
 
         # ---- wf-adaptive reduce (wfa.go:461-540) ----
-        row_i = i_win[pl.ds(slot_se, 1)][0]
-        row_d = d_win[pl.ds(slot_se, 1)][0]
+        row_i = i_win[pl.ds(slot_se * BB, BB)]
+        row_d = d_win[pl.ds(slot_se * BB, BB)]
         if REDUCE_ON:
             red = ex_ms & live & ((hi_ms - lo_ms + 1) >= MIN_WF_LEN)
             offc = row_m >> TYPE_BITS
@@ -690,15 +705,19 @@ def _kernel(
             marked = okd & ((dist - dmin) > MAX_DIST_DIFF)
             good = okd & ~marked
             jj = lane_k
-            first_good = jnp.min(jnp.where(good, jj, _BIG), axis=1,
-                                 keepdims=True)
+            # one batched reduce for first_good / last_good / any_marked
+            s2m = jnp.min(jnp.concatenate([
+                jnp.where(good, jj, _BIG),
+                jnp.where(good, -jj, _BIG),
+                jnp.where(marked, 0, 1),
+            ], axis=0), axis=1, keepdims=True)
+            first_good = s2m[:BB]
+            last_good = -s2m[BB:2 * BB]
+            any_marked = s2m[2 * BB:] == 0
+            any_good = first_good < _BIG
             last_mark = jnp.max(
                 jnp.where(marked & (jj < first_good), jj, -_BIG),
                 axis=1, keepdims=True)
-            any_marked = jnp.any(marked, axis=1)[:, None]
-            any_good = first_good < _BIG  # free: reuse the min reduce
-            last_good = jnp.max(jnp.where(good, jj, -_BIG), axis=1,
-                                keepdims=True)
             new_lo = jnp.where(last_mark > -_BIG, k0 + last_mark + 1, lo_ms)
             new_hi = jnp.where(any_marked & any_good, k0 + last_good, hi_ms)
             new_lo = jnp.where(red, new_lo, lo_ms)
@@ -727,10 +746,10 @@ def _kernel(
 
             row_i, i_lo, i_hi = co_delete(row_i, i_lo, i_hi, i_ex, slot_se)
             row_d, d_lo, d_hi = co_delete(row_d, d_lo, d_hi, d_ex, slot_se)
-            i_win[pl.ds(slot_se, 1)] = row_i[None]
-            d_win[pl.ds(slot_se, 1)] = row_d[None]
+            i_win[pl.ds(slot_se * BB, BB)] = row_i
+            d_win[pl.ds(slot_se * BB, BB)] = row_d
 
-        m_win[pl.ds(slot_s, 1)] = row_m[None]
+        m_win[pl.ds(slot_s * BB, BB)] = row_m
 
         # ---- stream backtrace-aux row s to HBM (value-rebased) ----
         # aux row values were final at creation (aux = pre-extension
@@ -743,9 +762,12 @@ def _kernel(
         oslot = lax.rem(c, 2)
         wrote = live0
         slot_sa = lax.rem(s, 2)
-        am0 = jnp.where(wrote & (row_m != 0), am_win[pl.ds(slot_sa, 1)][0], 0)
-        ai0 = jnp.where(wrote & (row_i != 0), ai_win[pl.ds(slot_sa, 1)][0], 0)
-        ad0 = jnp.where(wrote & (row_d != 0), ad_win[pl.ds(slot_sa, 1)][0], 0)
+        am0 = jnp.where(wrote & (row_m != 0),
+                        am_win[pl.ds(slot_sa * BB, BB)], 0)
+        ai0 = jnp.where(wrote & (row_i != 0),
+                        ai_win[pl.ds(slot_sa * BB, BB)], 0)
+        ad0 = jnp.where(wrote & (row_d != 0),
+                        ad_win[pl.ds(slot_sa * BB, BB)], 0)
 
         # ONE cross-lane reduce for the shared base (elementwise 3-way
         # min first): cross-lane reduces are this layout's costly op
@@ -763,12 +785,10 @@ def _kernel(
             v = (a >> TYPE_BITS) - base + 1
             return jnp.where(a > 0, (v << TYPE_BITS) | (a & 7), 0)
 
-        ob_m[pl.ds(oslot, 1), pl.ds(och, 1)] = reb(am0).astype(
-            cell_dtype)[None, None]
-        ob_i[pl.ds(oslot, 1), pl.ds(och, 1)] = reb(ai0).astype(
-            cell_dtype)[None, None]
-        ob_d[pl.ds(oslot, 1), pl.ds(och, 1)] = reb(ad0).astype(
-            cell_dtype)[None, None]
+        orow = oslot * CH + och
+        ob_m[pl.ds(orow, 1)] = reb(am0).astype(cell_dtype)[None]
+        ob_i[pl.ds(orow, 1)] = reb(ai0).astype(cell_dtype)[None]
+        ob_d[pl.ds(orow, 1)] = reb(ad0).astype(cell_dtype)[None]
 
         @pl.when(lax.rem(s, CH) == CH - 1)
         def _():
@@ -953,15 +973,15 @@ def pallas_run_batch(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
             jax.ShapeDtypeStruct((Bp, S), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((WM, bb, K), jnp.int32),
-            pltpu.VMEM((WE, bb, K), jnp.int32),
-            pltpu.VMEM((WE, bb, K), jnp.int32),
-            pltpu.VMEM((2, bb, K), jnp.int32),
-            pltpu.VMEM((2, bb, K), jnp.int32),
-            pltpu.VMEM((2, bb, K), jnp.int32),
-            pltpu.VMEM((2, CH, bb, K), cell_dtype),
-            pltpu.VMEM((2, CH, bb, K), cell_dtype),
-            pltpu.VMEM((2, CH, bb, K), cell_dtype),
+            pltpu.VMEM((WM * bb, K), jnp.int32),
+            pltpu.VMEM((WE * bb, K), jnp.int32),
+            pltpu.VMEM((WE * bb, K), jnp.int32),
+            pltpu.VMEM((2 * bb, K), jnp.int32),
+            pltpu.VMEM((2 * bb, K), jnp.int32),
+            pltpu.VMEM((2 * bb, K), jnp.int32),
+            pltpu.VMEM((2 * CH, bb, K), cell_dtype),
+            pltpu.VMEM((2 * CH, bb, K), cell_dtype),
+            pltpu.VMEM((2 * CH, bb, K), cell_dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.VMEM((bb, twv * K), jnp.int32),
             pltpu.VMEM((bb, twv * K), jnp.int32),
