@@ -91,22 +91,30 @@ def main() -> None:
                 "aln_per_s": round(aln_s, 1), "elapsed_s": round(elapsed, 3),
                 "go_aln_per_s": go, "vs_go": round(aln_s / go, 2),
             })
-        # semi-global rows (no Go baseline recorded in benchmark.tsv)
+        # semi-global rows.  benchmark.tsv records no Go semi-global
+        # numbers; go_est uses the Go GLOBAL rate at the same l/e as an
+        # upper-bound estimate (wf-adaptive trims the full-span seed to
+        # a global-like band within a few scores, so the reference's
+        # semi-global runs at most at its global speed; its end-finder
+        # scan only adds work).
         semi = AlignmentPipeline(dataclasses.replace(
             cfg, options=Options(global_alignment=False)))
-        for length, err in ((200, 0.05), (1000, 0.05)):
+        for length, err, go_est in ((200, 0.05, None), (1000, 0.05, 6484)):
             n = 8192 if length <= 250 else 2048
             aln_s, elapsed, _ = _run(semi, n, length, err, reps=1)
-            print(f"# semi-global l={length} e={err}: {aln_s:.1f} aln/s "
-                  f"n={n} {elapsed:.2f}s", file=sys.stderr)
+            vs = f" (Go est {go_est}; {aln_s / go_est:.1f}x)" if go_est else ""
+            print(f"# semi-global l={length} e={err}: {aln_s:.1f} aln/s"
+                  f"{vs} n={n} {elapsed:.2f}s", file=sys.stderr)
             record.append({
                 "mode": "semi-global", "l": length, "e": err, "n": n,
                 "reps": 1, "aln_per_s": round(aln_s, 1),
                 "elapsed_s": round(elapsed, 3),
-                "go_aln_per_s": None, "vs_go": None,
+                "go_aln_per_s": None,
+                "go_est_aln_per_s": go_est,
+                "vs_go_est": (round(aln_s / go_est, 2) if go_est else None),
             })
         out_path = os.environ.get(
-            "WFA_BENCH_MATRIX_OUT", "BENCH_MATRIX_r03.json")
+            "WFA_BENCH_MATRIX_OUT", "BENCH_MATRIX_r04.json")
         with open(out_path, "w") as fh:
             json.dump({"backend": _backend_name(), "rows": record}, fh,
                       indent=1)
