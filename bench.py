@@ -62,7 +62,7 @@ def main() -> None:
         penalties=Penalties(4, 6, 2),
         options=Options(global_alignment=True),
         adaptive=AdaptiveReductionOption(10, 50, 1),
-        batch_size=int(os.environ.get("WFA_BENCH_BATCH", "2048")),
+        batch_size=int(os.environ.get("WFA_BENCH_BATCH", "1024")),
     )
     pipe = AlignmentPipeline(cfg)
 
@@ -81,13 +81,13 @@ def main() -> None:
         ]
         record = []
         for length, err, go in rows:
-            n = 16384 if length <= 1000 else (64 if length <= 50000 else 16)
-            aln_s, elapsed, _ = _run(pipe, n, length, err, reps=1)
+            n = 16384 if length <= 1000 else (64 if length <= 50000 else 32)
+            aln_s, elapsed, _ = _run(pipe, n, length, err, reps=2)
             print(f"# l={length} e={err}: {aln_s:.1f} aln/s "
                   f"(Go {go}; {aln_s / go:.1f}x) n={n} {elapsed:.2f}s",
                   file=sys.stderr)
             record.append({
-                "mode": "global", "l": length, "e": err, "n": n, "reps": 1,
+                "mode": "global", "l": length, "e": err, "n": n, "reps": 2,
                 "aln_per_s": round(aln_s, 1), "elapsed_s": round(elapsed, 3),
                 "go_aln_per_s": go, "vs_go": round(aln_s / go, 2),
             })
@@ -100,14 +100,15 @@ def main() -> None:
         semi = AlignmentPipeline(dataclasses.replace(
             cfg, options=Options(global_alignment=False)))
         for length, err, go_est in ((200, 0.05, None), (1000, 0.05, 6484)):
-            n = 8192 if length <= 250 else 2048
-            aln_s, elapsed, _ = _run(semi, n, length, err, reps=1)
+            # the semi batch is 2048: n=4096 lets adjacent batches overlap
+            n = 8192 if length <= 250 else 4096
+            aln_s, elapsed, _ = _run(semi, n, length, err, reps=2)
             vs = f" (Go est {go_est}; {aln_s / go_est:.1f}x)" if go_est else ""
             print(f"# semi-global l={length} e={err}: {aln_s:.1f} aln/s"
                   f"{vs} n={n} {elapsed:.2f}s", file=sys.stderr)
             record.append({
                 "mode": "semi-global", "l": length, "e": err, "n": n,
-                "reps": 1, "aln_per_s": round(aln_s, 1),
+                "reps": 2, "aln_per_s": round(aln_s, 1),
                 "elapsed_s": round(elapsed, 3),
                 "go_aln_per_s": None,
                 "go_est_aln_per_s": go_est,
