@@ -99,8 +99,12 @@ class AlignmentPipeline:
             if cfg.adaptive is not None and full_span > 512 and tier <= 2:
                 # prefix-length ladder: each tier's prefix must outlast
                 # the measured band collapse for its error regime; the
-                # escape probe keeps doomed tiers cheap
-                semi2_s0 = (48, 112, 200)[tier]
+                # escape probe keeps doomed tiers cheap.  Tier-0 S0=64:
+                # at l=1000/e=0.05 S0=48 left 311/2048 pairs (15%) still
+                # full-span-wide at the export (the late-collapse tail;
+                # K2 256 vs 384 changed nothing), S0=64 leaves 2.4% —
+                # worth the +33% prefix length.
+                semi2_s0 = (64, 112, 200)[tier]
                 k_win = (256, 512, 512)[tier]
             else:
                 k_win = full_span  # exact final tier (and -a runs)
