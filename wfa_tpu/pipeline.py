@@ -488,17 +488,19 @@ class AlignmentPipeline:
     # -- threaded drain --------------------------------------------------------
 
     def _drain_pool(self):
-        """Lazy 2-worker pool that fetches and decodes finished batches.
+        """Lazy worker pool that fetches and decodes finished batches.
 
-        Two workers let one batch's blocking device wait overlap
-        another's decode; more would only add GIL contention (decode is
-        pure Python)."""
+        Each drain is dominated by the tunnel's fixed ~26 ms round trip
+        (GIL released), with only a few ms of Python decode — so several
+        workers overlap round trips without meaningful GIL contention.
+        WFA_DRAIN_WORKERS overrides for hardware experiments."""
         pool = self._pool
         if pool is None:
             from concurrent.futures import ThreadPoolExecutor
 
             pool = ThreadPoolExecutor(
-                max_workers=2, thread_name_prefix="wfa-drain")
+                max_workers=int(os.environ.get("WFA_DRAIN_WORKERS", "2")),
+                thread_name_prefix="wfa-drain")
             self._pool = pool
         return pool
 
@@ -517,9 +519,10 @@ class AlignmentPipeline:
         if pool is None:
             from concurrent.futures import ThreadPoolExecutor
 
+            n = (1 if self._mesh is not None
+                 else int(os.environ.get("WFA_SUBMIT_WORKERS", "2")))
             pool = ThreadPoolExecutor(
-                max_workers=1 if self._mesh is not None else 2,
-                thread_name_prefix="wfa-submit")
+                max_workers=n, thread_name_prefix="wfa-submit")
             self._spool = pool
         return pool
 
