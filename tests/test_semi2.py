@@ -65,7 +65,7 @@ def test_semi2_pipeline_bitexact():
     cfg = PipelineConfig(penalties=PEN, options=SEMI, adaptive=ADA,
                          batch_size=6, n_devices=1)
     pipe = AlignmentPipeline(cfg)
-    assert pipe._tier_caps(320, 322, 0)[4] == "semi2:48"
+    assert pipe._tier_caps(320, 322, 0)[4] == "semi2:64"
     pairs = generate_pairs(6, 320, 0.05, seed=9)
     results = pipe.align_all(pairs)
     oracle = OracleAligner(PEN, SEMI, ADA)
@@ -80,7 +80,7 @@ def test_semi2_pipeline_uses_semi2_engine():
     pipe = AlignmentPipeline(cfg)
     k_win, s_cap, w_win, b_cap, engine, serial, _bb = pipe._tier_caps(
         1000, 1010, 0)
-    assert engine == "semi2:48" and k_win == 256
+    assert engine == "semi2:64" and k_win == 256
     k_win, s_cap, w_win, b_cap, engine, serial, _bb = pipe._tier_caps(
         1000, 1010, 1)
     assert engine == "semi2:112" and k_win == 512

@@ -322,16 +322,10 @@ def _kernel(
         ca0 = jnp.where(at_seed, 0, ca0)
         ca1 = jnp.where(at_seed, NC - 1, ca1)
 
-        # reset the s2 band slots (pass A merges chunk extents into them)
-        e1 = jnp.full((1, BB), _BIG, jnp.int32)
-        ib_lo[pl.ds(slot_s2e, 1)] = e1
-        ib_hi[pl.ds(slot_s2e, 1)] = -e1
-        db_lo[pl.ds(slot_s2e, 1)] = e1
-        db_hi[pl.ds(slot_s2e, 1)] = -e1
-        mb_lo[pl.ds(slot_s2, 1)] = e1
-        mb_hi[pl.ds(slot_s2, 1)] = -e1
-
         # ---- pass A: next(s+1) + extend + termination/dmin partials --
+        # (the s2 band extents ride the fori carry — VMEM band-slot
+        # read-modify-writes inside the chunk loop serialize the step
+        # on ref round-trips, the long-read kernel's measured trap)
         if STREAM:
             # anchored v-table window: find this step's live word-group
             # range first (a cheap pre-scan), refill if outrun
@@ -369,7 +363,8 @@ def _kernel(
             wbase = jnp.where(refill, wmin, wbase)
 
         def pass_a(ci, acc):
-            term_acc, dmin_acc, outrun_now = acc
+            (term_acc, dmin_acc, outrun_now,
+             lo_i_a, hi_i_a, lo_d_a, hi_d_a, lo_m_a, hi_m_a) = acc
             b0 = ci * KC
             ks_c = k0 + b0 + iota_c
             row_k_c = b0 + iota_c
@@ -549,37 +544,28 @@ def _kernel(
                 dist = jnp.maximum(tlen - hs, qlen - vs2)
                 dmin_acc = jnp.minimum(dmin_acc, smin(dist, okd))
 
-            # merge the next-band partials into the (pre-reset) s2 slots
-            ib_lo[pl.ds(slot_s2e, 1)] = jnp.minimum(
-                ib_lo[pl.ds(slot_s2e, 1)], lo_i_c)
-            ib_hi[pl.ds(slot_s2e, 1)] = jnp.maximum(
-                ib_hi[pl.ds(slot_s2e, 1)], hi_i_c)
-            db_lo[pl.ds(slot_s2e, 1)] = jnp.minimum(
-                db_lo[pl.ds(slot_s2e, 1)], lo_d_c)
-            db_hi[pl.ds(slot_s2e, 1)] = jnp.maximum(
-                db_hi[pl.ds(slot_s2e, 1)], hi_d_c)
-            mb_lo[pl.ds(slot_s2, 1)] = jnp.minimum(
-                mb_lo[pl.ds(slot_s2, 1)], lo_m_c)
-            mb_hi[pl.ds(slot_s2, 1)] = jnp.maximum(
-                mb_hi[pl.ds(slot_s2, 1)], hi_m_c)
-            return term_acc, dmin_acc, outrun_now
+            # merge the next-band partials into the carry (registers)
+            lo_i_a = jnp.minimum(lo_i_a, lo_i_c)
+            hi_i_a = jnp.maximum(hi_i_a, hi_i_c)
+            lo_d_a = jnp.minimum(lo_d_a, lo_d_c)
+            hi_d_a = jnp.maximum(hi_d_a, hi_d_c)
+            lo_m_a = jnp.minimum(lo_m_a, lo_m_c)
+            hi_m_a = jnp.maximum(hi_m_a, hi_m_c)
+            return (term_acc, dmin_acc, outrun_now,
+                    lo_i_a, hi_i_a, lo_d_a, hi_d_a, lo_m_a, hi_m_a)
 
         z1 = jnp.zeros((1, BB), jnp.int32)
-        term_acc, dmin, outrun_now = lax.fori_loop(
+        big1 = jnp.full((1, BB), _BIG, jnp.int32)
+        (term_acc, dmin, outrun_now, lo_i_n, hi_i_n, lo_d_n, hi_d_n,
+         lo_m_raw, hi_m_raw) = lax.fori_loop(
             ca0, ca1 + 1, pass_a,
-            (z1, jnp.full((1, BB), _BIG, jnp.int32), z1))
+            (z1, big1, z1, big1, -big1, big1, -big1, big1, -big1))
 
         # finalize the s2 bands: freeze/any semantics as run_next.
-        # NOTE at this point mb/ib/db rows for slot_s2 hold the raw
-        # chunk-merged extents (BIG/-BIG when nothing was written).
-        lo_i_n = ib_lo[pl.ds(slot_s2e, 1)]
-        hi_i_n = ib_hi[pl.ds(slot_s2e, 1)]
+        # NOTE the carried extents hold the raw chunk-merged values
+        # (BIG/-BIG when nothing was written).
         any_i = lo_i_n < _BIG
-        lo_d_n = db_lo[pl.ds(slot_s2e, 1)]
-        hi_d_n = db_hi[pl.ds(slot_s2e, 1)]
         any_d = lo_d_n < _BIG
-        lo_m_raw = mb_lo[pl.ds(slot_s2, 1)]
-        hi_m_raw = mb_hi[pl.ds(slot_s2, 1)]
         any_m = lo_m_raw < _BIG
         lo_m_n = jnp.minimum(lo_m_raw, jnp.where(ex_m_olds, lo_m_olds,
                                                  _BIG))
