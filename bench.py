@@ -62,7 +62,7 @@ def main() -> None:
         penalties=Penalties(4, 6, 2),
         options=Options(global_alignment=True),
         adaptive=AdaptiveReductionOption(10, 50, 1),
-        batch_size=int(os.environ.get("WFA_BENCH_BATCH", "1024")),
+        batch_size=int(os.environ.get("WFA_BENCH_BATCH", "2048")),
     )
     pipe = AlignmentPipeline(cfg)
 

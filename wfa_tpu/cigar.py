@@ -61,6 +61,29 @@ class AlignmentResult:
         self.error: Exception | None = None
 
     @classmethod
+    def from_device(cls, ga: bool, row, tokens) -> "AlignmentResult":
+        """Fast constructor for device-decoded batches (the pipeline
+        builds thousands of these per batch on a 1-core host): ``row``
+        is one engine.META_COLS meta row (score..gap_regions prefix),
+        ``tokens`` the packed device token view (decoded lazily)."""
+        res = cls.__new__(cls)
+        res._ops = []
+        res.score = row[0]
+        res.q_begin = row[2]
+        res.q_end = row[3]
+        res.t_begin = row[4]
+        res.t_end = row[5]
+        res.align_len = row[6]
+        res.matches = row[7]
+        res.gaps = row[8]
+        res.gap_regions = row[9]
+        res._processed = False
+        res._raw_tokens = tokens
+        res.global_alignment = ga
+        res.error = None
+        return res
+
+    @classmethod
     def failed(cls, error: Exception) -> "AlignmentResult":
         """Result carrying a per-pair input error (empty/too-long seq)."""
         res = cls()

@@ -102,12 +102,15 @@ def _pad_len(n: int) -> int:
     g = 128 if n <= 4096 else 2048
     return ((n + g - 1) // g) * g
 
-# columns of the fused per-pair "meta" output tensor (int32[B, 11]) —
+# columns of the fused per-pair "meta" output tensor (int32[B, 12]) —
 # one tensor so the host fetches all scalars in one tunnel round trip
+# (n_long counts the byte-stream path's full-width long tokens; zero on
+# the other output layouts)
 META_COLS = ("score", "overflow", "q_begin", "q_end", "t_begin", "t_end",
-             "align_len", "matches", "gaps", "gap_regions", "trim_len")
+             "align_len", "matches", "gaps", "gap_regions", "trim_len",
+             "n_long")
 M_SCORE, M_OVF, M_QB, M_QE, M_TB, M_TE, M_ALEN, M_MATCH, M_GAPS, M_GREG, \
-    M_TRIM = range(11)
+    M_TRIM, M_LONG = range(12)
 
 
 class _State(NamedTuple):
@@ -1131,7 +1134,7 @@ def _finish_outputs(
     ``flat`` emits the merged output as ONE 1-D tensor with the tokens
     cross-pair packed (exact-extent fetch; single-device path only —
     shard_map outputs keep the 2-D row layout so shards concatenate)."""
-    from .device_backtrace import (compact_tokens, compact_tokens_flat,
+    from .device_backtrace import (compact_tokens, compact_tokens_flat_u8,
                                    device_backtrace, device_stats,
                                    iter_capacity)
 
@@ -1153,9 +1156,19 @@ def _finish_outputs(
     )
     align_len, matches, gaps, gap_regions = device_stats(
         tok0, buf, tail, token_shift)
-    if compact:
-        ct = compact_tokens_flat if flat else compact_tokens
-        toks, n_tok = ct(tok0, buf, tail, token_shift)
+    n_long = jnp.zeros_like(qb0)
+    bytes_flat = longs_flat = None
+    if compact and flat:
+        # byte-stream tokens: the tunnel's device->host bandwidth is
+        # the pipeline's binding constraint (measured 8-17 MB/s on a
+        # degraded day), so tokens ship as ONE byte each with the rare
+        # long runs spliced from a second compacted stream — ~1.7x
+        # less download than int16 rows (compact_tokens_flat_u8)
+        bytes_flat, longs_flat, n_tok, n_long = compact_tokens_flat_u8(
+            tok0, buf, tail, token_shift)
+        trim_len = n_tok
+    elif compact:
+        toks, n_tok = compact_tokens(tok0, buf, tail, token_shift)
         trim_len = n_tok
     else:
         trim_len = jnp.broadcast_to(it_used, qb0.shape)
@@ -1166,22 +1179,32 @@ def _finish_outputs(
     # trim <= the token-stream capacity) — halves the meta download.
     meta = jnp.stack(
         [start_s, overflow.astype(jnp.int32), qb0, qe, tb0, te,
-         align_len, matches, gaps, gap_regions, trim_len], axis=1)
+         align_len, matches, gaps, gap_regions, trim_len, n_long], axis=1)
     ns_cap = 2 * iter_capacity(S, cfg.penalties) + 5
     meta16 = max(Lq + Ltb, S, ns_cap) <= 32000
+    if compact and flat:
+        # the meta scalars ride IN FRONT OF the byte stream as explicit
+        # little-endian bytes (2 per column when they fit int16, else
+        # 4); the long-token stream is a second tensor whose async copy
+        # pipelines with the first (queued copies share the wire
+        # efficiently — the per-fetch cost is the serial host wait, not
+        # the transfer count)
+        mb = 2 if meta16 else 4
+        meta_bytes = jnp.stack(
+            [(lax.shift_right_logical(meta.astype(jnp.uint32),
+                                      jnp.uint32(8 * i))
+              & jnp.uint32(255)).astype(jnp.uint8) for i in range(mb)],
+            axis=2).reshape(-1)
+        return {"mtb": jnp.concatenate([meta_bytes, bytes_flat]),
+                "lg": longs_flat}
     if compact:
-        # ... and on the compact path the scalars ride IN FRONT OF the
-        # token stream: one device tensor per batch = one tunnel fetch
-        # (through the tunnel every fetch costs a serial ~26 ms round
-        # trip even when async copies are queued).  int16 tokens imply
-        # meta fits int16 too (token_shift<=12 => Lq,Ltb < 4096 => all
-        # meta bounds < 32000, pipeline-capped s_cap included); direct
-        # s_cap>32000 configs upcast the tokens instead.
+        # 2-D (shard_map) layout: scalars in front of the token rows,
+        # one dtype.  int16 tokens imply meta fits int16 too
+        # (token_shift<=12 => Lq,Ltb < 4096 => all meta bounds < 32000,
+        # pipeline-capped s_cap included); direct s_cap>32000 configs
+        # upcast the tokens instead.
         if toks.dtype == jnp.int16 and not meta16:
             toks = toks.astype(jnp.int32)
-        if flat:
-            return {"mt": jnp.concatenate(
-                [meta.astype(toks.dtype).reshape(-1), toks])}
         return {"mt": jnp.concatenate(
             [meta.astype(toks.dtype), toks], axis=1)}
     if meta16:
@@ -1300,7 +1323,8 @@ class BatchAligner:
         """Pad a batch and pre-place each target at column -k0."""
         return self._pack_all(pairs)[:7]
 
-    def _pack_all(self, pairs: Sequence[Tuple[bytes, bytes]]):
+    def _pack_all(self, pairs: Sequence[Tuple[bytes, bytes]],
+                  need_raw: bool = True):
         """Build the padded row matrices AND their 2-bit uploads in one
         host pass (the native packer when built; numpy otherwise).
 
@@ -1308,6 +1332,12 @@ class BatchAligner:
         qp/tp None when the batch has non-ACGT bytes (raw upload path).
         This is the pipeline's host hot loop — at 2048x1kb it costs
         ~3 ms native vs ~60 ms in numpy passes.
+
+        ``need_raw=False`` (the pipeline hot path) skips the padded raw
+        rows entirely for pure-ACGT batches via the native direct
+        packer (qb/tbuf come back None then — nothing reads them when
+        the packed upload exists); mixed batches still fall back to the
+        full build.
         """
         B = len(pairs)
         K = self.cfg.k_win
@@ -1325,6 +1355,13 @@ class BatchAligner:
 
         from . import native
 
+        if native.lib is not None and not need_raw:
+            qp = native.pack_direct([q for q, _ in pairs], qlen, None, Lq)
+            if qp is not None:
+                tp = native.pack_direct(
+                    [t for _, t in pairs], tlen, toff, Ltb)
+                if tp is not None:
+                    return None, None, qlen, tlen, toff, Lq, Ltb, qp, tp
         if native.lib is not None:
             qb, qp = native.build_and_pack(
                 [q for q, _ in pairs], qlen, None, Lq)
@@ -1440,7 +1477,7 @@ class BatchAligner:
             qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = prepacked
         else:
             qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = self._pack_all(
-                pairs_padded)
+                pairs_padded, need_raw=False)
         if engine == "pallas":
             from .pallas_engine import supports
 
@@ -1493,9 +1530,35 @@ class BatchAligner:
         drain need zero extra device round trips in the common case;
         batches that outrun the guess fetch the remainder in
         finish_small (rare; the guess self-adjusts)."""
+        big0 = "mtb" if "mtb" in out else ("mt" if "mt" in out else None)
+        if big0 is not None:
+            # a 1-element copy enqueued BEFORE the output copies lands
+            # the moment execution completes — wait_exec() blocks on it
+            # so a pipeline can release its modeled execution-arena
+            # reservation without waiting for the (bandwidth-bound)
+            # output stream
+            t = out[big0]
+            tiny = t[:1] if t.ndim == 1 else t[:1, :1]
+            tiny.copy_to_host_async()
+            out["_tiny"] = tiny
         for k, a in out.items():
-            if k not in ("buf", "toks", "mt"):
+            if k not in ("buf", "toks", "mt", "mtb", "lg", "_tiny"):
                 a.copy_to_host_async()
+        if "mtb" in out:
+            # byte-stream layout: meta bytes lead the uint8 token stream
+            # ("mtb"); full-width long tokens ride a second tensor
+            # ("lg") whose async copy pipelines with the first
+            mtb, lg = out["mtb"], out["lg"]
+            hd = mtb.shape[0] - lg.shape[0]  # meta byte count
+            gb = self._tok_guess.get("mtb")
+            spec_b = mtb[:hd if gb is None else min(mtb.shape[0], hd + gb)]
+            spec_b.copy_to_host_async()
+            gl = self._tok_guess.get("lg")
+            spec_l = None
+            if gl:
+                spec_l = lg[:min(lg.shape[0], gl)]
+                spec_l.copy_to_host_async()
+            return pairs, out, (spec_b, spec_l)
         big = ("mt" if "mt" in out
                else "toks" if "toks" in out else "buf")
         guess = self._tok_guess.get(big)
@@ -1654,6 +1717,22 @@ class BatchAligner:
         """Fetch a submitted batch's results and decode them."""
         return self.finish_tokens(self.finish_small(handle), fallback)
 
+    @staticmethod
+    def wait_exec(handle) -> None:
+        """Block until the submitted batch's program has finished
+        executing on device (the 1-element marker copy enqueued before
+        the output copies lands as soon as execution completes) —
+        cheap next to waiting for the full output stream."""
+        out = handle[1]
+        tiny = out.get("_tiny")
+        if tiny is not None:
+            _host_fetch(tiny)
+            return
+        # layouts without a marker: a fresh 1-element fetch of any
+        # output still only lands post-execution
+        a = next(iter(out.values()))
+        _host_fetch(a[:1] if a.ndim == 1 else a[:1, :1])
+
     def finish_small(self, handle):
         """Fetch everything except the token buffer and queue the token
         fetch for whatever the speculative prefetch missed; returns a
@@ -1662,6 +1741,38 @@ class BatchAligner:
         Splitting the fetch lets a pipeline start the (latency-bound)
         token-slice dispatch of one batch while others still compute."""
         pairs, dev, spec = handle
+        if "mtb" in dev:
+            # byte-stream layout: ONE uint8 fetch covers the meta bytes
+            # and (in the common case) the whole used byte-token extent;
+            # the long-token stream fetches at its own guessed extent
+            spec_b, spec_l = spec
+            B = len(pairs)
+            nm = len(META_COLS)
+            hd = dev["mtb"].shape[0] - dev["lg"].shape[0]
+            mb = hd // (nm * B) if B else 2
+            head = _host_fetch(spec_b)
+            mraw = head[:hd].reshape(B, nm, mb).astype(np.int64)
+            meta = sum(
+                mraw[:, :, i] << (8 * i) for i in range(mb)
+            ).astype(np.int32)
+            out = {"meta": meta, "_b_head": head[hd:]}
+            tot_b = int(meta[:, M_TRIM].astype(np.int64).sum()) if B else 0
+            tot_l = int(meta[:, M_LONG].astype(np.int64).sum()) if B else 0
+            self._tok_guess["mtb"] = _coarse(max(tot_b, 1) * 9 // 8)
+            self._tok_guess["lg"] = _coarse(max(tot_l, 1) * 9 // 8)
+            need_b = min(dev["mtb"].shape[0] - hd, _coarse(max(tot_b, 1)))
+            have_b = head.shape[0] - hd
+            trim_b = None
+            if have_b < need_b:
+                trim_b = dev["mtb"][hd + have_b : hd + need_b]
+                trim_b.copy_to_host_async()
+            need_l = min(dev["lg"].shape[0], _coarse(max(tot_l, 1)))
+            have_l = spec_l.shape[0] if spec_l is not None else 0
+            trim_l = None
+            if have_l < need_l:
+                trim_l = dev["lg"][have_l:need_l]
+                trim_l.copy_to_host_async()
+            return pairs, dev, out, "mtb", spec, (trim_b, trim_l)
         big = ("mt" if "mt" in dev
                else "toks" if "toks" in dev else "buf")
         if big == "mt":
@@ -1732,6 +1843,37 @@ class BatchAligner:
 
     def finish_tokens(self, handle2, fallback: bool = True):
         pairs, dev, out, big, spec, trim = handle2
+        if big == "mtb":
+            spec_b, spec_l = spec
+            trim_b, trim_l = trim
+            bts = out.pop("_b_head")
+            if trim_b is not None:
+                bts = np.concatenate([bts, _host_fetch(trim_b)])
+            lparts = [_host_fetch(a) for a in (spec_l, trim_l)
+                      if a is not None]
+            longs = (np.concatenate(lparts) if lparts
+                     else np.zeros(0, np.int16))
+            meta = out["meta"]
+            ends = np.cumsum(meta[:, M_TRIM].astype(np.int64))
+            ends_l = np.cumsum(meta[:, M_LONG].astype(np.int64))
+            ntot = int(ends[-1]) if len(ends) else 0
+            ltot = int(ends_l[-1]) if len(ends_l) else 0
+            b = bts[:ntot]
+            lg = longs[:ltot]
+            # reconstruct the full-width token stream: byte = code<<5|run,
+            # placeholder bytes (224) splice the long stream in order
+            shift = 12 if lg.dtype == np.int16 else 28
+            toks = (((b >> 5).astype(np.int32) << shift)
+                    | (b & 31)).astype(lg.dtype)
+            ph = b == 224
+            toks[ph] = lg
+            out["toks_flat"] = (toks, ends)
+            for a in dev.values():
+                a.delete()
+            for a in (spec_b, spec_l, trim_b, trim_l):
+                if a is not None:
+                    a.delete()
+            return self._finish(pairs, out, fallback)
         if big == "mt":
             toks = out.pop("_mt_head")
             if trim is not None:
@@ -1774,8 +1916,11 @@ class BatchAligner:
         # tail) to assemble here.  Stats were computed on device; op
         # decoding is lazy (first .ops access).
         if "toks_flat" in out:
+            # manual view slicing: np.split's array_split machinery
+            # costs ~5 ms per 2048-pair batch on the 1-core host
             flat_toks, ends = out["toks_flat"]
-            buf = np.split(flat_toks, ends[:-1]) if len(ends) else []
+            el = ends.tolist()
+            buf = [flat_toks[a:b] for a, b in zip([0] + el[:-1], el)]
         elif "toks" in out:
             buf = out["toks"]
         else:
@@ -1791,27 +1936,16 @@ class BatchAligner:
                 axis=1,
             )
         ga = self.cfg.global_alignment
-        cols = self._meta_cols(out)
-        overflow = cols["overflow"].tolist()
-        score = cols["score"].tolist()
-        q_begin, q_end = cols["q_begin"].tolist(), cols["q_end"].tolist()
-        t_begin, t_end = cols["t_begin"].tolist(), cols["t_end"].tolist()
-        align_len, matches = cols["align_len"].tolist(), cols["matches"].tolist()
-        gaps, gap_regions = cols["gaps"].tolist(), cols["gap_regions"].tolist()
-        for i, (q, t) in enumerate(pairs):
-            if overflow[i]:
-                results.append(self._oracle.align(q, t) if fallback else None)
-                continue
-            res = AlignmentResult(ga)
-            res.score = score[i]
-            res.set_device_tokens(buf[i])
-            res.q_begin = q_begin[i]
-            res.q_end = q_end[i]
-            res.t_begin = t_begin[i]
-            res.t_end = t_end[i]
-            res.align_len = align_len[i]
-            res.matches = matches[i]
-            res.gaps = gaps[i]
-            res.gap_regions = gap_regions[i]
-            results.append(res)
+        meta = out["meta"]
+        # one bulk tolist + a zip-driven loop: the per-pair result build
+        # is pipeline host-CPU hot path (1-core host)
+        rows = meta[:, :M_GREG + 1].tolist()
+        from_device = AlignmentResult.from_device
+        append = results.append
+        oracle = self._oracle
+        for (q, t), row, toks in zip(pairs, rows, buf):
+            if row[M_OVF]:
+                append(oracle.align(q, t) if fallback else None)
+            else:
+                append(from_device(ga, row, toks))
         return results

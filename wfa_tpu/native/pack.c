@@ -74,6 +74,53 @@ int32_t wfa_pack2(const uint8_t *raw, int64_t n_bytes,
     return ((bad & 0xfcu) == 0 && nz == expected_nonzero) ? 1 : 0;
 }
 
+/* Direct 2-bit pack straight from the source strings — no padded raw
+ * matrix intermediate (the raw rows are only needed when the batch has
+ * non-ACGT bytes, and building them costs ~4x the memory traffic of the
+ * packed output on this 1-core host).  Returns 1 when packed_out is
+ * valid; 0 means a non-ACGT byte (incl. embedded NUL) was seen and the
+ * caller must fall back to wfa_build_and_pack. */
+int32_t wfa_pack_direct(const char **seqs, const int32_t *lens,
+                        const int32_t *offs, int32_t B, int32_t L,
+                        uint8_t *packed_out) {
+    init_codes();
+    uint32_t bad = 0;
+    int32_t W = L / 4;
+    for (int32_t b = 0; b < B; b++) {
+        uint8_t *row = packed_out + (size_t)b * W;
+        memset(row, 0, (size_t)W);
+        int32_t off = offs ? offs[b] : 0;
+        int32_t skip = 0;
+        if (off < 0) { skip = -off; off = 0; }
+        int32_t n = lens[b] - skip;
+        if (n > L - off) n = L - off;
+        if (n <= 0) continue;
+        const uint8_t *s = (const uint8_t *)seqs[b] + skip;
+        int32_t i = 0;
+        /* unaligned head: place bases until off+i is 4-aligned */
+        for (; i < n && ((off + i) & 3); i++) {
+            uint8_t c = CODES[s[i]];
+            bad |= c;
+            row[(off + i) >> 2] |= (uint8_t)((c & 3) << (((off + i) & 3) << 1));
+        }
+        /* aligned body: 4 bases -> 1 output byte */
+        for (; i + 4 <= n; i += 4) {
+            uint8_t c0 = CODES[s[i]], c1 = CODES[s[i + 1]];
+            uint8_t c2 = CODES[s[i + 2]], c3 = CODES[s[i + 3]];
+            bad |= (uint32_t)(c0 | c1 | c2 | c3);
+            row[(off + i) >> 2] =
+                (uint8_t)(c0 | (c1 << 2) | (c2 << 4) | (c3 << 6));
+        }
+        for (; i < n; i++) {
+            uint8_t c = CODES[s[i]];
+            bad |= c;
+            row[(off + i) >> 2] |= (uint8_t)((c & 3) << (((off + i) & 3) << 1));
+        }
+        if (bad & 0xfcu) return 0; /* bail early on a raw-path batch */
+    }
+    return (bad & 0xfcu) == 0 ? 1 : 0;
+}
+
 /* Fused: build rows + pack.  Returns 1 when packed_out is valid. */
 int32_t wfa_build_and_pack(const char **seqs, const int32_t *lens,
                            const int32_t *offs, int32_t B, int32_t L,

@@ -64,6 +64,7 @@ class AlignmentPipeline:
         self._device_errors = 0  # device-fault counter (see _device_fault)
         self._pool = None  # lazy drain ThreadPoolExecutor (_drain_pool)
         self._spool = None  # lazy submit ThreadPoolExecutor (_submit_pool)
+        self._isem = None  # lazy in-flight count semaphore (_inflight_sem)
         import threading
 
         self._mem_cv = threading.Condition()  # in-flight byte gate
@@ -379,11 +380,13 @@ class AlignmentPipeline:
                 n_chunks = (len(items) + bs - 1) // bs
                 probe = tier < 3 and n_chunks > 1
                 # the probe (does this tier's cap ladder fit the
-                # workload at all?) drains ASYNCHRONOUSLY: a few more
-                # chunks submit while it computes, so the common all-good
-                # case pays no serial stall; a bad probe then only wastes
-                # those already-submitted chunks
-                probe_at = min(3, n_chunks - 1)
+                # workload at all?) drains ASYNCHRONOUSLY: submission
+                # keeps going while it computes (non-blocking done()
+                # checks), so the common all-good case pays ZERO serial
+                # stall; only past probe_hard chunks does an unresolved
+                # probe block — a bad probe then only wastes the
+                # already-submitted chunks
+                probe_hard = min(8, n_chunks - 1)
                 probe_fut = None
                 skip_rest = False
                 for ci in range(n_chunks):
@@ -413,30 +416,46 @@ class AlignmentPipeline:
                                 n_bad = sum(r is None for r in out)
                                 skip_rest = n_bad * 10 >= len(out) * 9
                             continue
-                        # pack on the MAIN thread (the native packer
-                        # releases the GIL) so it overlaps the submit
-                        # worker's blocking upload of the PREVIOUS
-                        # batch; upload+dispatch then run on the
-                        # ordered submit worker.  The byte gate blocks
-                        # here while too many batches' device buffers
-                        # are still alive (aux planes persist from
-                        # dispatch until the drain deletes them — an
-                        # unbounded pile-up is an HBM hard fault)
+                        # pack+upload+dispatch all run on submit
+                        # workers (the native packer and the blocking
+                        # upload both release the GIL, so workers
+                        # parallelize cleanly and the main thread stays
+                        # free to keep the queue full).  The byte gate
+                        # blocks here while too many batches' modeled
+                        # EXECUTION arenas are still pending (program
+                        # temp memory lives from dispatch until the
+                        # outputs land — an unbounded pile-up is an HBM
+                        # hard fault); drained-but-undecoded batches
+                        # hold only their small input/output buffers
                         chunk_pairs = [p for _, p in chunk]
-                        self._mem_acquire(batch_bytes)
-                        started = False
+                        # single-phase batches only HOLD their small
+                        # input/output buffers between dispatch and
+                        # drain: the device executes programs serially
+                        # and allocates each program's temp arena at
+                        # execution (verified empirically: 10 queued
+                        # batches of 1.6 GB modeled arena ran clean), so
+                        # the byte gate reserves a generous buffer model
+                        # and an in-flight COUNT cap bounds the queue.
+                        # Two-phase semi-global batches reserve their
+                        # full model: their phase-1 exports genuinely
+                        # persist on device across the host mid-point.
+                        hold = (batch_bytes if engine.startswith("semi2")
+                                else min(batch_bytes,
+                                         batch_bytes // 256 + (16 << 20)))
+                        self._inflight_sem().acquire()
+                        self._mem_acquire(hold)
+                        owned = False
                         try:
-                            pre = (eng._pack_all(chunk_pairs)
-                                   if eng.mesh is None else None)
                             sub = self._submit_pool().submit(
-                                eng.submit_batch, chunk_pairs, pre)
+                                eng.submit_batch, chunk_pairs, None)
                             submit_futs.append(sub)
                             fut = pool.submit(
-                                self._drain_from, eng, sub, batch_bytes)
-                            started = True
+                                self._drain_from, eng, sub, hold)
+                            owned = True
                         finally:
-                            if not started:
-                                self._mem_release(batch_bytes)
+                            if not owned:
+                                self._mem_release(hold)
+                                self._inflight_sem().release()
                         inflight.append(((lq_c, lt_c), chunk, fut))
                         if probe and ci == 0:
                             probe_fut = fut
@@ -452,7 +471,8 @@ class AlignmentPipeline:
                         inflight.append(
                             ((lq_c, lt_c), chunk, [None] * len(chunk)))
                         continue
-                    if probe_fut is not None and ci == probe_at:
+                    if probe_fut is not None and (
+                            probe_fut.done() or ci >= probe_hard):
                         try:
                             out = probe_fut.result()
                         except RuntimeError as exc:
@@ -499,7 +519,7 @@ class AlignmentPipeline:
             from concurrent.futures import ThreadPoolExecutor
 
             pool = ThreadPoolExecutor(
-                max_workers=int(os.environ.get("WFA_DRAIN_WORKERS", "2")),
+                max_workers=int(os.environ.get("WFA_DRAIN_WORKERS", "4")),
                 thread_name_prefix="wfa-drain")
             self._pool = pool
         return pool
@@ -508,39 +528,55 @@ class AlignmentPipeline:
         """Lazy submit pool for pack+upload+dispatch (uploads through
         the tunnel block, so they get their own lane).
 
-        TWO workers off-mesh: the two-phase semi-global submit has a
-        host mid-point (meta1 fetch + target re-placement) during which
-        the device would otherwise idle — a second worker keeps the
-        next batch's phase 1 queued behind it.  Under a mesh ONE worker
-        keeps the dispatch order deterministic (multi-host shard_map
-        requires every process to enqueue the same programs in the same
+        THREE workers off-mesh: each runs a full pack+upload+dispatch
+        (all GIL-releasing), so three overlap one another's blocking
+        uploads AND the two-phase semi-global submit's host mid-point
+        (meta1 fetch + target re-placement) during which the device
+        would otherwise idle.  Under a mesh ONE worker keeps the
+        dispatch order deterministic (multi-host shard_map requires
+        every process to enqueue the same programs in the same
         order)."""
         pool = self._spool
         if pool is None:
             from concurrent.futures import ThreadPoolExecutor
 
             n = (1 if self._mesh is not None
-                 else int(os.environ.get("WFA_SUBMIT_WORKERS", "2")))
+                 else int(os.environ.get("WFA_SUBMIT_WORKERS", "3")))
             pool = ThreadPoolExecutor(
                 max_workers=n, thread_name_prefix="wfa-submit")
             self._spool = pool
         return pool
+
+    def _inflight_sem(self):
+        """Lazy in-flight batch COUNT cap: bounds how many batches may
+        sit between dispatch and drain at once (the byte gate bounds
+        their held buffers; this bounds runtime queue growth).
+        WFA_MAX_INFLIGHT overrides for hardware experiments."""
+        sem = self._isem
+        if sem is None:
+            import threading
+
+            sem = threading.BoundedSemaphore(
+                int(os.environ.get("WFA_MAX_INFLIGHT", "8")))
+            self._isem = sem
+        return sem
 
     @staticmethod
     def _drain_one(eng: BatchAligner, handle):
         """Worker-thread body: fetch a submitted batch and decode it."""
         return eng.finish_tokens(eng.finish_small(handle), fallback=False)
 
-    def _drain_from(self, eng: BatchAligner, sub_fut, nbytes: int):
+    def _drain_from(self, eng: BatchAligner, sub_fut, hold: int):
         """Drain a batch whose submit ran async: wait for the submit
         handle, then fetch + decode (submit-side device faults surface
         here and are handled exactly like drain-side ones).  Releases
-        the batch's in-flight byte reservation once its device buffers
-        are deleted (or its submit/drain failed)."""
+        the batch's byte reservation and in-flight slot when its device
+        buffers are deleted (or its submit/drain failed)."""
         try:
             return self._drain_one(eng, sub_fut.result())
         finally:
-            self._mem_release(nbytes)
+            self._mem_release(hold)
+            self._inflight_sem().release()
 
     # -- in-flight device-memory gate ------------------------------------------
 
