@@ -9,6 +9,13 @@ Baseline: the reference Go binary does n=100000 l=1000 e=0.05 in 15.424 s
 on one laptop core = 6483 aln/s (reference benchmark.tsv:4).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Attribution columns (VERDICT r4 #6): every run records a tunnel-health
+probe (8 MB up/down, ms) before and after, and the headline records a
+DEVICE-ONLY measurement (resident input, K repeat dispatches, one tiny
+fetch) — host<->device bandwidth through the tunnel swings by >10x on an
+hours scale, and these columns attribute wall-clock deltas to tunnel
+weather vs workload changes.
 """
 
 from __future__ import annotations
@@ -23,6 +30,68 @@ N_PAIRS = int(os.environ.get("WFA_BENCH_PAIRS", "32768"))
 LENGTH = int(os.environ.get("WFA_BENCH_LEN", "1000"))
 ERROR_RATE = float(os.environ.get("WFA_BENCH_ERR", "0.05"))
 BASELINE_ALN_S = 6483.0  # wfa-go, l=1000 e=0.05 (benchmark.tsv:4)
+
+
+def _tunnel_probe():
+    """(up_ms, down_ms) for an 8 MB transfer each way."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    a = np.ones(8 << 20, np.uint8)
+    t0 = time.perf_counter()
+    d = jnp.asarray(a)
+    up = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(d)
+    down = time.perf_counter() - t0
+    d.delete()
+    return round(up * 1e3, 1), round(down * 1e3, 1)
+
+
+def _device_only(pipe, pairs, k_runs=8):
+    """Device-only aln/s on the headline shape: one resident upload, K
+    back-to-back dispatches of the compiled program, one tiny fetch of
+    the last output — free of upload/download bandwidth effects."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from wfa_tpu.engine import _align_full2
+
+    B = min(len(pairs), pipe.cfg.batch_size)
+    chunk = pairs[:B]
+    caps = pipe._tier_caps(max(len(q) for q, _ in chunk),
+                           max(len(t) for _, t in chunk), 0)
+    k_win, s_cap, w_win, _, engine, _, _ = caps
+    if engine.startswith("semi2"):
+        return None  # two-phase path has a host mid-point; not resident
+    eng = pipe._engine(k_win, s_cap, w_win, engine)
+    qb, tbuf, qlen, tlen, toff, Lq, Ltb, qp, tp = eng._pack_all(chunk)
+    packed = tp is not None
+    seq = np.concatenate([qp if packed else qb, tp if packed else tbuf], 1)
+    lens = np.stack([qlen, tlen, toff], axis=1).astype(np.int32)
+    dseq, dlens = jnp.asarray(seq), jnp.asarray(lens)
+    ename = {"auto": "pallas"}.get(engine, engine)
+    if ename.startswith("auto:kw"):
+        ename = "pallas"
+
+    def run():
+        return _align_full2(dseq, dlens, cfg=eng.cfg, B=B, Lq=Lq, Ltb=Ltb,
+                            engine=ename, packed=packed, flat=True)
+
+    out = run()  # warm (compile cached from the wall-clock run)
+    key = "mtb" if "mtb" in out else next(iter(out))
+    np.asarray(out[key][:1])
+    for a in out.values():
+        a.delete()
+    t0 = time.perf_counter()
+    outs = [run() for _ in range(k_runs)]
+    np.asarray(outs[-1][key][:1])
+    per = (time.perf_counter() - t0 - 0.026) / k_runs
+    for o in outs:
+        for a in o.values():
+            a.delete()
+    return round(B / per, 1)
 
 
 def _run(pipe, n, length, err, reps=3):
@@ -44,7 +113,7 @@ def _run(pipe, n, length, err, reps=3):
         print(f"# reps: {[round(t, 3) for t in times]} s (best-of-"
               f"{len(times)} reported)", file=sys.stderr)
     elapsed = min(times)
-    return n / elapsed, elapsed, results[0]
+    return n / elapsed, elapsed, results[0], pairs
 
 
 def _backend_name() -> str:
@@ -81,14 +150,23 @@ def main() -> None:
         ]
         record = []
         for length, err, go in rows:
-            n = 16384 if length <= 1000 else (64 if length <= 50000 else 32)
-            aln_s, elapsed, _ = _run(pipe, n, length, err, reps=2)
+            n = 65536 if length <= 1000 else (64 if length <= 50000 else 32)
+            reps = 3 if length <= 1000 else 2
+            t_up0, t_dn0 = _tunnel_probe()
+            aln_s, elapsed, _, pairs = _run(pipe, n, length, err, reps=reps)
+            dev_only = _device_only(pipe, pairs) if length <= 1000 else None
+            t_up1, t_dn1 = _tunnel_probe()
             print(f"# l={length} e={err}: {aln_s:.1f} aln/s "
-                  f"(Go {go}; {aln_s / go:.1f}x) n={n} {elapsed:.2f}s",
-                  file=sys.stderr)
+                  f"(Go {go}; {aln_s / go:.1f}x) n={n} {elapsed:.2f}s "
+                  f"dev_only={dev_only} tunnel8MB up {t_up0}->{t_up1} ms "
+                  f"down {t_dn0}->{t_dn1} ms", file=sys.stderr)
             record.append({
-                "mode": "global", "l": length, "e": err, "n": n, "reps": 2,
-                "aln_per_s": round(aln_s, 1), "elapsed_s": round(elapsed, 3),
+                "mode": "global", "l": length, "e": err, "n": n,
+                "reps": reps, "aln_per_s": round(aln_s, 1),
+                "elapsed_s": round(elapsed, 3),
+                "device_only_aln_per_s": dev_only,
+                "tunnel_8mb_ms": {"up": [t_up0, t_up1],
+                                  "down": [t_dn0, t_dn1]},
                 "go_aln_per_s": go, "vs_go": round(aln_s / go, 2),
             })
         # semi-global rows.  benchmark.tsv records no Go semi-global
@@ -99,23 +177,33 @@ def main() -> None:
         # scan only adds work).
         semi = AlignmentPipeline(dataclasses.replace(
             cfg, options=Options(global_alignment=False)))
-        for length, err, go_est in ((200, 0.05, None), (1000, 0.05, 6484)):
+        semi_rows = [(200, 0.05, None), (1000, 0.05, 6484),
+                     (1000, 0.10, 2393), (1000, 0.20, 904),
+                     (10000, 0.05, 648)]
+        for length, err, go_est in semi_rows:
             # the semi batch is 2048: n=4096 lets adjacent batches overlap
-            n = 8192 if length <= 250 else 4096
-            aln_s, elapsed, _ = _run(semi, n, length, err, reps=2)
+            n = (8192 if length <= 250 else
+                 4096 if length <= 1000 else 64)
+            t_up0, t_dn0 = _tunnel_probe()
+            aln_s, elapsed, _, _ = _run(semi, n, length, err, reps=2)
+            t_up1, t_dn1 = _tunnel_probe()
             vs = f" (Go est {go_est}; {aln_s / go_est:.1f}x)" if go_est else ""
             print(f"# semi-global l={length} e={err}: {aln_s:.1f} aln/s"
-                  f"{vs} n={n} {elapsed:.2f}s", file=sys.stderr)
+                  f"{vs} n={n} {elapsed:.2f}s tunnel8MB up "
+                  f"{t_up0}->{t_up1} ms down {t_dn0}->{t_dn1} ms",
+                  file=sys.stderr)
             record.append({
                 "mode": "semi-global", "l": length, "e": err, "n": n,
                 "reps": 2, "aln_per_s": round(aln_s, 1),
                 "elapsed_s": round(elapsed, 3),
+                "tunnel_8mb_ms": {"up": [t_up0, t_up1],
+                                  "down": [t_dn0, t_dn1]},
                 "go_aln_per_s": None,
                 "go_est_aln_per_s": go_est,
                 "vs_go_est": (round(aln_s / go_est, 2) if go_est else None),
             })
         out_path = os.environ.get(
-            "WFA_BENCH_MATRIX_OUT", "BENCH_MATRIX_r04.json")
+            "WFA_BENCH_MATRIX_OUT", "BENCH_MATRIX_r05.json")
         with open(out_path, "w") as fh:
             json.dump({"backend": _backend_name(), "rows": record}, fh,
                       indent=1)
@@ -123,7 +211,10 @@ def main() -> None:
         print(f"# matrix written to {out_path}", file=sys.stderr)
         return
 
-    aln_s, elapsed, r0 = _run(pipe, N_PAIRS, LENGTH, ERROR_RATE)
+    t_up0, t_dn0 = _tunnel_probe()
+    aln_s, elapsed, r0, pairs = _run(pipe, N_PAIRS, LENGTH, ERROR_RATE)
+    dev_only = _device_only(pipe, pairs)
+    t_up1, t_dn1 = _tunnel_probe()
     print(
         json.dumps(
             {
@@ -138,6 +229,11 @@ def main() -> None:
         f"# n={N_PAIRS} l={LENGTH} e={ERROR_RATE} elapsed={elapsed:.2f}s "
         f"sample: score={r0.score} cigar_len={len(r0.ops)}",
         file=sys.stderr,
+    )
+    print(
+        f"# device-only {dev_only} aln/s; tunnel 8MB up {t_up0}->{t_up1} "
+        f"ms, down {t_dn0}->{t_dn1} ms (wall-vs-device gaps are tunnel "
+        f"weather)", file=sys.stderr,
     )
 
 

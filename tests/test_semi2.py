@@ -388,3 +388,58 @@ def test_prefix_chunked_penalty_variants(pen):
                                       aux_c[:, :smax, :, b])
         if not done[b] and not ovf[b]:
             np.testing.assert_array_equal(state_w[:, b], state_c[:, b])
+
+
+def test_prefix_plan_single_source():
+    """semi2.prefix_plan is THE kernel-prefix decision (VERDICT r4 #8):
+    the pipeline's pessimistic-Ltb model must never claim the kernel
+    path when the submit (any real Ltb <= full span) would take the XLA
+    path — the gates are monotone in Ltb, so pessimism only errs toward
+    modeling the bigger XLA footprint."""
+    import dataclasses as dc
+
+    from wfa_tpu.engine import EngineConfig
+    from wfa_tpu.pipeline import AlignmentPipeline, PipelineConfig
+    from wfa_tpu.semi2 import prefix_plan
+
+    for l in (200, 600, 1000, 2000, 8000):
+        full_span = 2 * l + 1
+        pipe = AlignmentPipeline(PipelineConfig(
+            penalties=PEN, options=SEMI, adaptive=ADA, n_devices=1))
+        model = pipe._semi2_kernel_prefix(full_span)
+        kcfg = EngineConfig(penalties=PEN, global_alignment=False,
+                            adaptive=ADA, k_win=full_span, s_cap=8)
+        for ltb in (128, l, full_span):
+            submit, kf = prefix_plan(kcfg, full_span, ltb)
+            assert (not model) or submit, (l, ltb)
+            assert kf % 128 == 0 and kf >= full_span
+
+
+def test_semi_long_reads_ladder_terminates():
+    """Semi-global is length-unbounded in the reference
+    (wfa.go:163-183); the two-phase ladder must terminate with sane
+    batch admission well past l=1000, where the XLA full-span prefix
+    (kernel gate fails VMEM) models ~160 MB/pair (VERDICT r4 #5).
+    Uses a low error rate so the CPU interpret-mode phase-2 loop stays
+    short; the admission math is the same at any error."""
+    from wfa_tpu.datagen import generate_pairs
+    from wfa_tpu.oracle import Aligner as OracleAligner
+    from wfa_tpu.pipeline import AlignmentPipeline, PipelineConfig
+
+    pipe = AlignmentPipeline(PipelineConfig(
+        penalties=PEN, options=SEMI, adaptive=ADA, n_devices=1))
+    l = 6000
+    full_span = 2 * l + 1
+    assert not pipe._semi2_kernel_prefix(full_span)  # XLA-prefix regime
+    for tier in (0, 1, 2):
+        caps = pipe._tier_caps(l, l, tier)
+        b_cap, batch_bytes = caps[3], caps[6]
+        assert b_cap >= 1
+        assert batch_bytes <= pipe.cfg.hbm_budget, (tier, batch_bytes)
+    pairs = generate_pairs(2, l, 0.01, seed=5)
+    res = pipe.align_all(pairs)
+    oracle = OracleAligner(PEN, SEMI, ADA)
+    for (q, t), r in zip(pairs, res):
+        ref = oracle.align(q, t)
+        assert r.score == ref.score
+        assert r.cigar(False) == ref.cigar(False)

@@ -209,36 +209,8 @@ def compact_tokens(tok0, buf, tail, token_shift):
     return out.astype(dtype), n_tok
 
 
-def compact_tokens_flat(tok0, buf, tail, token_shift):
-    """Cross-pair variant of :func:`compact_tokens`: ONE stable sort over
-    the flattened batch moves every used token into a dense prefix of a
-    1-D stream ordered by (pair, emission position).  The host then
-    fetches exactly ``sum(n_tok)`` tokens — no per-row padding to the
-    batch maximum (~1.5-2x fewer bytes on realistic batches, where the
-    row-padded fetch pays max-over-batch columns for every pair).
-    Per-pair extents ride the meta tensor (M_TRIM); offsets are their
-    cumsum.  Returns (flat [B*NS] with trailing zeros, n_tok [B])."""
-    B = tok0.shape[0]
-    dtype = jnp.int16 if token_shift <= 12 else jnp.int32
-    toks = jnp.concatenate(
-        [tok0[:, None], jnp.transpose(buf, (1, 0, 2)).reshape(B, -1), tail],
-        axis=1,
-    ).astype(jnp.int32)
-    NS = toks.shape[1]
-    flat = toks.reshape(B * NS)
-    nz = flat != 0
-    pos = jnp.arange(B * NS, dtype=jnp.int32)
-    # used tokens keep their (pair-major) position as the key; empty
-    # slots share one max key (their values are all zero, so their
-    # relative order is immaterial — no stable sort needed)
-    key = jnp.where(nz, pos, np.int32(B * NS))
-    _, out = lax.sort((key, flat), dimension=0, num_keys=1)
-    n_tok = jnp.sum(nz.reshape(B, NS), axis=1).astype(jnp.int32)
-    return out.astype(dtype), n_tok
-
-
 def compact_tokens_flat_u8(tok0, buf, tail, token_shift):
-    """Byte-stream variant of :func:`compact_tokens_flat` for the
+    """Cross-pair byte-stream token compaction for the
     download-bandwidth-bound tunnel (CLAUDE.md: device->host is the
     pipeline's binding constraint): most op runs are short, so each
     token ships as ONE byte ``code << 5 | run`` when ``run <= 31``;

@@ -62,6 +62,18 @@ from .oracle import Aligner as OracleAligner
 
 _BIG = np.int32(1 << 30)
 
+# Process-wide jax-dispatch lock.  The pipeline dispatches jitted
+# programs and slice primitives from several worker threads; concurrent
+# FIRST-COMPILES inside jaxlib (pxla.from_hlo racing other dispatch)
+# segfault intermittently (observed twice in the CPU test suite).  All
+# engine-side jax CALL sites (jit dispatch, output slicing) take this
+# lock; blocking transfers (np.asarray fetches, jnp.asarray uploads) and
+# pure-numpy work stay outside it, so the serialized window is ~ms per
+# batch once warm while uploads/downloads still overlap freely.
+import threading
+
+DISPATCH_LOCK = threading.RLock()
+
 
 def _host_fetch(x):
     """Device array -> numpy.  Multi-host global arrays span
@@ -1506,17 +1518,18 @@ class BatchAligner:
             args = _global_args(self.mesh, host_args)
         else:
             args = tuple(jnp.asarray(a) for a in host_args)
-        if self.mesh is not None:
-            from .parallel import dp_align_full_fn
+        with DISPATCH_LOCK:  # jit dispatch + output slicing (see lock doc)
+            if self.mesh is not None:
+                from .parallel import dp_align_full_fn
 
-            out = dp_align_full_fn(
-                self.cfg, self.mesh, B, Lq, Ltb, engine, packed)(*args)
-        else:
-            out = _align_full2(
-                *args, cfg=self.cfg, B=B, Lq=Lq, Ltb=Ltb, engine=engine,
-                packed=packed, flat=True,
-            )
-        return self._queue_fetch(pairs, out)
+                out = dp_align_full_fn(
+                    self.cfg, self.mesh, B, Lq, Ltb, engine, packed)(*args)
+            else:
+                out = _align_full2(
+                    *args, cfg=self.cfg, B=B, Lq=Lq, Ltb=Ltb, engine=engine,
+                    packed=packed, flat=True,
+                )
+            return self._queue_fetch(pairs, out)
 
     def _queue_fetch(self, pairs, out):
         """Queue device->host copies for a dispatched batch's outputs.
@@ -1618,7 +1631,6 @@ class BatchAligner:
                              axis=1)
         lens = np.stack([qlen, tlen, toff], axis=1).astype(np.int32)
         full_span = int((qlen + tlen).max()) + 1
-        Kf = ((full_span + 127) // 128) * 128
         # phase-1 stop reads must be v-space: the full-span seed rows
         # have live cells at every buffer column, so an anchored c-space
         # read window would mass-outrun, and reading the full c-table
@@ -1626,13 +1638,12 @@ class BatchAligner:
         # Pallas prefix kernel by default (fast Mosaic compile, main-
         # kernel tile efficiency); the XLA prefix with a v-anchored
         # window covers degenerate penalties, WFA_SEMI2_KERNEL_PREFIX=0,
-        # and spans past the VMEM gate (semi2.kernel_prefix_enabled).
-        from .semi2 import kernel_prefix_enabled, prefix_kf
+        # and spans past the VMEM gate.  semi2.prefix_plan is the single
+        # source of the decision (the pipeline's footprint model calls
+        # the same function).
+        from .semi2 import prefix_plan
 
-        use_kernel = kernel_prefix_enabled(self.cfg, Kf, Ltb)
-        if use_kernel:
-            # 512-multiple Kf => KC=512 chunk tiles in the chunked prefix
-            Kf = prefix_kf(self.cfg, full_span, Ltb)
+        use_kernel, Kf = prefix_plan(self.cfg, full_span, Ltb)
         # v-shear table + FULL-table reads: measured fastest XLA prefix
         # (322 ms vs 368 c-space vs 594 anchored-window at B=944 l=1k —
         # the per-step dynamic-slice of a window costs more than reading
@@ -1646,14 +1657,17 @@ class BatchAligner:
             args1 = (_global_args(self.mesh, (seq, lens))
                      if jax.process_count() > 1
                      else (jnp.asarray(seq), jnp.asarray(lens)))
-            exports = dp_semi2_prefix_fn(
-                pcfg, self.mesh, B, Lq, Ltb, self.s_switch,
-                self.cfg.k_win, packed, use_kernel)(*args1)
+            with DISPATCH_LOCK:
+                exports = dp_semi2_prefix_fn(
+                    pcfg, self.mesh, B, Lq, Ltb, self.s_switch,
+                    self.cfg.k_win, packed, use_kernel)(*args1)
         else:
-            exports = prefix_export2(
-                jnp.asarray(seq), jnp.asarray(lens), cfg=pcfg, B=B, Lq=Lq,
-                Ltb=Ltb, S0=self.s_switch, K2=self.cfg.k_win, packed=packed,
-                use_kernel=use_kernel)
+            d1, d2 = jnp.asarray(seq), jnp.asarray(lens)
+            with DISPATCH_LOCK:
+                exports = prefix_export2(
+                    d1, d2, cfg=pcfg, B=B, Lq=Lq,
+                    Ltb=Ltb, S0=self.s_switch, K2=self.cfg.k_win,
+                    packed=packed, use_kernel=use_kernel)
         # the only mid-point host sync: the per-pair window origins
         # (multi-host: an allgather — every process needs every pair's
         # origin to build the identical re-placed global batch)
@@ -1694,18 +1708,19 @@ class BatchAligner:
             exports["win_m"], exports["win_i"], exports["win_d"],
             exports["ainit"], exports["b_m"], exports["b_ie"],
             exports["meta1"], exports["aux_old"])
-        if self.mesh is not None:
-            from .parallel import dp_semi2_phase2_fn
+        with DISPATCH_LOCK:
+            if self.mesh is not None:
+                from .parallel import dp_semi2_phase2_fn
 
-            out = dp_semi2_phase2_fn(
-                self.cfg, self.mesh, B, Lq, Ltb, Ltb2, self.s_switch,
-                packed2, old_lanes=use_kernel)(*p2_args)
-        else:
-            out = phase2(
-                *p2_args, cfg=self.cfg, B=B, Lq=Lq, Ltb_full=Ltb,
-                Ltb2=Ltb2, S0=self.s_switch, packed=packed2,
-                old_lanes=use_kernel, flat=True)
-        return self._queue_fetch(pairs, out)
+                out = dp_semi2_phase2_fn(
+                    self.cfg, self.mesh, B, Lq, Ltb, Ltb2, self.s_switch,
+                    packed2, old_lanes=use_kernel)(*p2_args)
+            else:
+                out = phase2(
+                    *p2_args, cfg=self.cfg, B=B, Lq=Lq, Ltb_full=Ltb,
+                    Ltb2=Ltb2, S0=self.s_switch, packed=packed2,
+                    old_lanes=use_kernel, flat=True)
+            return self._queue_fetch(pairs, out)
 
     @staticmethod
     def _meta_cols(out):
@@ -1731,7 +1746,9 @@ class BatchAligner:
         # layouts without a marker: a fresh 1-element fetch of any
         # output still only lands post-execution
         a = next(iter(out.values()))
-        _host_fetch(a[:1] if a.ndim == 1 else a[:1, :1])
+        with DISPATCH_LOCK:
+            t = a[:1] if a.ndim == 1 else a[:1, :1]
+        _host_fetch(t)
 
     def finish_small(self, handle):
         """Fetch everything except the token buffer and queue the token
@@ -1762,16 +1779,16 @@ class BatchAligner:
             self._tok_guess["lg"] = _coarse(max(tot_l, 1) * 9 // 8)
             need_b = min(dev["mtb"].shape[0] - hd, _coarse(max(tot_b, 1)))
             have_b = head.shape[0] - hd
-            trim_b = None
-            if have_b < need_b:
-                trim_b = dev["mtb"][hd + have_b : hd + need_b]
-                trim_b.copy_to_host_async()
             need_l = min(dev["lg"].shape[0], _coarse(max(tot_l, 1)))
             have_l = spec_l.shape[0] if spec_l is not None else 0
-            trim_l = None
-            if have_l < need_l:
-                trim_l = dev["lg"][have_l:need_l]
-                trim_l.copy_to_host_async()
+            trim_b = trim_l = None
+            with DISPATCH_LOCK:
+                if have_b < need_b:
+                    trim_b = dev["mtb"][hd + have_b : hd + need_b]
+                    trim_b.copy_to_host_async()
+                if have_l < need_l:
+                    trim_l = dev["lg"][have_l:need_l]
+                    trim_l.copy_to_host_async()
             return pairs, dev, out, "mtb", spec, (trim_b, trim_l)
         big = ("mt" if "mt" in dev
                else "toks" if "toks" in dev else "buf")
@@ -1796,8 +1813,9 @@ class BatchAligner:
                 if have >= need:
                     trim = None
                 else:
-                    trim = dev["mt"][hd + have : hd + need]
-                    trim.copy_to_host_async()
+                    with DISPATCH_LOCK:
+                        trim = dev["mt"][hd + have : hd + need]
+                        trim.copy_to_host_async()
                 return pairs, dev, out, big, spec, trim
             out = {"meta": head[:, :nm], "_mt_head": head[:, nm:]}
             n = int(out["meta"][:, M_TRIM].max()) if len(pairs) else 0
@@ -1807,8 +1825,9 @@ class BatchAligner:
             if have >= cols:
                 trim = None
             else:
-                trim = dev["mt"][:, nm + have : nm + cols]
-                trim.copy_to_host_async()
+                with DISPATCH_LOCK:
+                    trim = dev["mt"][:, nm + have : nm + cols]
+                    trim.copy_to_host_async()
             return pairs, dev, out, big, spec, trim
         small = {k: a for k, a in dev.items() if k != big}
         out = {k: _host_fetch(a) for k, a in small.items()}
@@ -1818,27 +1837,29 @@ class BatchAligner:
         # adapt the speculative-prefetch extent to the workload (slack so
         # batch-to-batch jitter doesn't force remainder fetches)
         self._tok_guess[big] = ((max(n, 1) * 5 // 4 + 31) // 32) * 32
-        if big == "toks":
-            cols = min(dev["toks"].shape[1],
-                       ((max(n, 1) + 63) // 64) * 64)
-            if spec is not None and spec.shape[1] >= min(
-                    cols, dev["toks"].shape[1]):
-                trim = None  # prefetch covers the used extent
-            elif spec is not None:
-                trim = dev["toks"][:, spec.shape[1] : cols]
+        with DISPATCH_LOCK:
+            if big == "toks":
+                cols = min(dev["toks"].shape[1],
+                           ((max(n, 1) + 63) // 64) * 64)
+                if spec is not None and spec.shape[1] >= min(
+                        cols, dev["toks"].shape[1]):
+                    trim = None  # prefetch covers the used extent
+                elif spec is not None:
+                    trim = dev["toks"][:, spec.shape[1] : cols]
+                else:
+                    trim = dev["toks"][:, :cols]
             else:
-                trim = dev["toks"][:, :cols]
-        else:
-            rows = min(dev["buf"].shape[0], ((max(n, 1) + 31) // 32) * 32)
-            if spec is not None and spec.shape[0] >= min(
-                    rows, dev["buf"].shape[0]):
-                trim = None
-            elif spec is not None:
-                trim = dev["buf"][spec.shape[0] : rows]
-            else:
-                trim = dev["buf"][:rows]
-        if trim is not None:
-            trim.copy_to_host_async()
+                rows = min(dev["buf"].shape[0],
+                           ((max(n, 1) + 31) // 32) * 32)
+                if spec is not None and spec.shape[0] >= min(
+                        rows, dev["buf"].shape[0]):
+                    trim = None
+                elif spec is not None:
+                    trim = dev["buf"][spec.shape[0] : rows]
+                else:
+                    trim = dev["buf"][:rows]
+            if trim is not None:
+                trim.copy_to_host_async()
         return pairs, dev, out, big, spec, trim
 
     def finish_tokens(self, handle2, fallback: bool = True):

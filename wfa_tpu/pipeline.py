@@ -65,6 +65,10 @@ class AlignmentPipeline:
         self._pool = None  # lazy drain ThreadPoolExecutor (_drain_pool)
         self._spool = None  # lazy submit ThreadPoolExecutor (_submit_pool)
         self._isem = None  # lazy in-flight count semaphore (_inflight_sem)
+        # adaptive score-cap memory: bucket class -> max observed final
+        # score in the most recent align_all that completed pairs there
+        # (see _tier_caps)
+        self._score_memory = {}
         import threading
 
         self._mem_cv = threading.Condition()  # in-flight byte gate
@@ -81,8 +85,16 @@ class AlignmentPipeline:
 
     # -- window/cap policy ---------------------------------------------------
 
-    def _tier_caps(self, lq: int, lt: int, tier: int):
-        """(k_win, s_cap, w_win, batch_cap, engine) for a class/tier."""
+    def _tier_caps(self, lq: int, lt: int, tier: int, skey=None):
+        """(k_win, s_cap, w_win, batch_cap, engine) for a class/tier.
+
+        ``skey`` names the bucket for the adaptive score-cap memory
+        (observed max final score per bucket class, recorded by
+        align_all): a high-error workload's first call learns that
+        final scores reach ~0.92*l and every later call starts tier 0
+        at a fitted cap instead of burning a doomed 0.55*l pass — the
+        same feedback also SHRINKS caps (and with them the HBM models,
+        so batches grow) for low-error workloads."""
         cfg = self.cfg
         full_span = _round_up(lq + lt - 1 + 2, 128)
         longest = max(lq, lt)
@@ -145,6 +157,15 @@ class AlignmentPipeline:
         # and the memory models bound the batch size by it.
         frac = 0.55
         s1 = max(cfg.s_cap_base, _round_up(int(longest * frac), 128))
+        smax = self._score_memory.get(skey) if skey is not None else None
+        if smax is not None:
+            # fitted cap: observed workload max + 20% headroom for
+            # batch-to-batch spread, quantized so the jit cache is
+            # stable across calls; the ladder above it is unchanged
+            # (a workload shift that outruns the fit retries a tier up,
+            # and the memory re-learns from that call's results)
+            s1 = max(cfg.s_cap_base,
+                     _round_up(int(smax * 1.2) + 16, 128))
         s_cap = (s1, 3 * s1, _round_up(worst + 2, 8))[min(tier, 2)]
         s_cap = min(s_cap, _round_up(worst + 2, 8))
         # a single batch's aux tensors must stay well under HBM even at
@@ -214,17 +235,20 @@ class AlignmentPipeline:
         cell16 = max(lq, lt) + k_win <= 4095
         if semi2_s0 is not None:
             engine = f"semi2:{semi2_s0}"
-            blk = 128
-            if self._semi2_kernel_prefix(full_span):
+            semi2_kernel = self._semi2_kernel_prefix(full_span)
+            # only the Pallas kernel prefix pads the batch to 128-lane
+            # blocks; the XLA prefix runs at the actual batch size (its
+            # phase-2 padding term is a minor share of per_pair)
+            blk = 128 if semi2_kernel else 1
+            if semi2_kernel:
                 # kernel prefix (pallas_prefix/EXPORT): no XLA state
                 # tensors — the batch carries the int16/int32 aux_old
                 # history, the v-space tables (x2 build transient), the
                 # kernel state dump, then the phase-2 narrow aux.  The
-                # gate must match _submit_semi2's use_kernel decision
-                # (same env + penalty + VMEM checks, with Ltb estimated
-                # pessimistically as the full span) — modeling the
-                # kernel footprint while the XLA prefix actually runs
-                # would overshoot HBM by ~4x.
+                # gate IS _submit_semi2's decision (semi2.prefix_plan,
+                # Ltb pessimistic) — modeling the kernel footprint
+                # while the XLA prefix actually runs would overshoot
+                # HBM by ~4x.
                 cell = 2 if full_span + 2 <= 4095 else 4
                 vw_words = min(1024, max(128, lq)) // 64 + 2
                 # sizing upper bound: the submit pads Kf to a 512
@@ -258,7 +282,11 @@ class AlignmentPipeline:
         else:
             mult, blk = 40, 32
             per_pair = s_cap * k_win * mult + k_win * lw * 24
-        b_cap = max(4, min(8192, int(cfg.hbm_budget // max(per_pair, 1))))
+        # floor 1, not a fixed minimum: a per-pair footprint near (or
+        # over) the whole budget must shrink the batch to a single pair
+        # rather than admit a guaranteed-OOM batch (semi-global XLA
+        # prefix at l=50k models ~2.6 GB/pair)
+        b_cap = max(1, min(8192, int(cfg.hbm_budget // max(per_pair, 1))))
         if b_cap >= blk:
             b_cap -= b_cap % blk  # keep batches a whole number of blocks
         # device footprint of one ACTUAL batch (pallas pads to 128-lane
@@ -275,17 +303,17 @@ class AlignmentPipeline:
 
     def _semi2_kernel_prefix(self, full_span: int) -> bool:
         """Whether _submit_semi2 will run the Pallas kernel prefix for
-        this class (mirrors its use_kernel decision; Ltb is estimated
-        as the full span, an upper bound, so this can only
-        false-negative — never model the small kernel footprint while
-        the big XLA prefix actually runs)."""
+        this class — the SAME semi2.prefix_plan the submit calls, with
+        Ltb estimated as the full span (an upper bound; the gates are
+        monotone in Ltb, so this can only false-negative — never model
+        the small kernel footprint while the big XLA prefix runs)."""
         from .engine import EngineConfig
-        from .semi2 import kernel_prefix_enabled
+        from .semi2 import prefix_plan
 
         kcfg = EngineConfig(
             penalties=self.cfg.penalties, global_alignment=False,
             adaptive=self.cfg.adaptive, k_win=full_span, s_cap=8)
-        return kernel_prefix_enabled(kcfg, full_span, full_span)
+        return prefix_plan(kcfg, full_span, full_span)[0]
 
     def _engine(self, k_win: int, s_cap: int, w_win, engine) -> BatchAligner:
         key = (k_win, s_cap, w_win, engine)
@@ -347,6 +375,7 @@ class AlignmentPipeline:
         pending = {key: items for key, items in buckets.items()}
         pool = self._drain_pool()
         prev_caps = {}  # bucket -> previous tier's caps (skip repeats)
+        score_seen = {}  # bucket -> max final score observed this call
         for tier in (0, 1, 2, 3):
             if self._device_errors >= 2:
                 break  # device unhealthy — finish on the host oracle
@@ -363,7 +392,8 @@ class AlignmentPipeline:
                 # and with it every score cap and memory bound)
                 lq_max = max(len(p[0]) for _, p in items)
                 lt_max = max(len(p[1]) for _, p in items)
-                caps = self._tier_caps(lq_max, lt_max, tier)
+                caps = self._tier_caps(lq_max, lt_max, tier,
+                                       skey=(lq_c, lt_c))
                 if (prev_caps.get((lq_c, lt_c)) == caps
                         and self._device_errors == 0):
                     # the ladder has nothing wider for this bucket (the
@@ -494,15 +524,25 @@ class AlignmentPipeline:
                         if item not in counted:
                             self._device_fault(exc)
                         out = [None] * len(chunk)
+                mx = score_seen.get(key, -1)
                 for (idx, pair), res in zip(chunk, out):
                     if res is None:
                         nxt[key].append((idx, pair))
                     else:
                         results[idx] = res
+                        if res.score > mx:
+                            mx = res.score
+                if mx >= 0:
+                    score_seen[key] = mx
             pending = nxt
         for items in pending.values():  # final exact fallback
             for idx, (q, t) in items:
                 results[idx] = self._oracle.align(q, t)
+        # refresh the adaptive score-cap memory from this call's actual
+        # score distribution (replace, not max-merge: a shift to easier
+        # workloads must shrink the fitted caps again)
+        for key, mx in score_seen.items():
+            self._score_memory[key] = mx
         return results  # type: ignore[return-value]
 
     # -- threaded drain --------------------------------------------------------

@@ -52,10 +52,24 @@ M1_DONE, M1_FS, M1_TERM, M1_EFOUND, M1_ES, M1_EK, M1_ECELL, M1_OVF, \
     M1_K02 = range(9)
 
 
+def prefix_plan(cfg: EngineConfig, full_span: int, Ltb: int):
+    """THE phase-1 plan: (use_kernel, Kf) for a two-phase semi-global
+    batch.  Single source of truth consumed by BOTH
+    engine._submit_semi2 (the actual submission) and the pipeline's
+    footprint model (pipeline._semi2_kernel_prefix, which passes a
+    pessimistic Ltb upper bound — the gates are monotone in Ltb, so
+    the model can only choose the bigger-footprint path, never the
+    smaller; tests/test_semi2.py asserts the agreement)."""
+    Kf = ((full_span + 127) // 128) * 128
+    use = kernel_prefix_enabled(cfg, Kf, Ltb)
+    if use:
+        Kf = prefix_kf(cfg, full_span, Ltb)
+    return use, Kf
+
+
 def kernel_prefix_enabled(cfg: EngineConfig, Kf: int, Ltb: int) -> bool:
     """Whether the two-phase submit runs phase 1 on the Pallas prefix
-    kernel (shared by engine._submit_semi2 and the pipeline's footprint
-    model — the two MUST agree or batch sizing models the wrong path).
+    kernel (callers go through :func:`prefix_plan`).
 
     Default: on whenever the fast-compiling CHUNKED kernel applies (its
     penalty gate) and the span fits VMEM.  WFA_SEMI2_KERNEL_PREFIX=0
