@@ -352,6 +352,75 @@ def _stop_tables_v(qb, tbuf, qlen, tlen, toff, K: int, Lq: int, Ltb: int,
     return words, fsa
 
 
+def _stop_tables_v_lanes(qb, tbuf, qlen, tlen, toff, K: int, Lq: int,
+                         Ltb: int, VW: int):
+    """Lane-major variant of :func:`_stop_tables_v` for the wide prefix
+    kernels: returns ``(words_t, fsa_t)`` already in their input layout
+    ``[Lvw, K, B]`` (word-major, pairs on lanes).
+
+    Two structural wins over building [B, K, Lvw] and transposing
+    (measured 24 ms -> target <8 ms per 256-pair build at l=1k, half of
+    the whole phase-1 cost): every elementwise op runs on B-lane tiles
+    (the [..., 32] bit axis of the old build used 32 of 128 lanes), and
+    the [B, K, Lw] -> [Lw, K, B] megatranspose of three ~40 MB tensors
+    disappears — the only byte transpose is the [B, L] -> [L, B] input
+    flip (~0.5 MB)."""
+    B = qb.shape[0]
+    assert VW % 64 == 0 and VW <= Lq
+    VWe = VW + 64
+    Lvw = VWe // 32
+    CK = 256 if K % 256 == 0 else 128
+    CK = min(CK, K)
+    Kp = ((K + CK - 1) // CK) * CK
+    Lp = CK + VWe
+    Lpf = Kp + VWe
+    tT = jnp.transpose(
+        jnp.pad(tbuf, ((0, 0), (0, Lpf - Ltb))) if Ltb <= Lpf
+        else lax.slice(tbuf, (0, 0), (B, Lpf)))  # [Lpf, B]
+    qpad = qb if Lq >= VWe else jnp.pad(qb, ((0, 0), (0, VWe - Lq)))
+    qT = jnp.transpose(lax.slice(qpad, (0, 0), (B, VWe)))  # [VWe, B]
+    weights = (jnp.int32(1) << (31 - jnp.arange(32, dtype=jnp.int32)))
+    vs = jnp.arange(VWe, dtype=jnp.int32)[None, :, None]
+    rs = jnp.arange(CK, dtype=jnp.int32)[:, None, None]
+    qlen_l = qlen[None, None, :]
+    lo_l = toff[None, None, :]
+    hi_l = (toff + tlen)[None, None, :]
+
+    def _chunk(i, acc):
+        j0 = i * CK
+        # X[r, v, b] = tT[j0 + r + v, b] by doubling along r; shifts run
+        # along the sublane (v) axis, concats along the free leading axis
+        X = lax.dynamic_slice(tT, (j0, 0), (Lp, B))[None]
+        d = 1
+        while d < CK:
+            shifted = jnp.pad(X, ((0, 0), (0, d), (0, 0)))[:, d:, :]
+            X = jnp.concatenate([X, shifted], axis=0)
+            d *= 2
+        t_sh = lax.slice(X, (0, 0, 0), (CK, VWe, B))
+        cs = vs + rs + j0
+        valid = (vs < qlen_l) & (cs >= lo_l) & (cs < hi_l)
+        stop = ~(valid & (qT[None] == t_sh))  # [CK, VWe, B]
+        bits = stop.reshape(CK, Lvw, 32, B).astype(jnp.int32)
+        wc = jnp.sum(bits * weights[None, None, :, None], axis=2)
+        return lax.dynamic_update_slice(acc, wc, (j0, 0, 0))
+
+    words = lax.fori_loop(0, Kp // CK, _chunk,
+                          jnp.zeros((Kp, Lvw, B), jnp.int32))
+    if Kp != K:
+        words = lax.slice(words, (0, 0, 0), (K, Lvw, B))
+    words_t = jnp.transpose(words, (1, 0, 2))  # [Lvw, K, B], row-granular
+    wclz = lax.clz(words_t)
+    wpos = jnp.where(
+        words_t != 0,
+        jnp.arange(Lvw, dtype=jnp.int32)[:, None, None] * 32 + wclz,
+        _BIG,
+    )
+    suff = lax.cummin(wpos, axis=0, reverse=True)
+    fsa_t = jnp.concatenate(
+        [suff[1:], jnp.full_like(suff[:1], _BIG)], axis=0)
+    return words_t, fsa_t
+
+
 def _row_at(arr: jnp.ndarray, s) -> jnp.ndarray:
     """arr[s] with traced s: [S, B, K] -> [B, K]."""
     S, B, K = arr.shape

@@ -1194,7 +1194,7 @@ def _prefix_inputs(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
     (whole-K EXPORT mode here; chunked variant in wfa_tpu.pallas_prefix):
     sheared v-space stop tables in the kernels' group-major
     pairs-on-lanes layout, seed rows, and the packed params tensor."""
-    from .engine import _seed_rows, _stop_tables_v
+    from .engine import _seed_rows, _stop_tables_v_lanes
 
     p = cfg.penalties
     S, K = cfg.s_cap, cfg.k_win
@@ -1210,15 +1210,13 @@ def _prefix_inputs(qb, tbuf, qlen, tlen, toff, *, cfg: EngineConfig,
         | ((tlen - 1) >= k0 + K)
     )
 
-    words, fsa = _stop_tables_v(qb, tbuf, qlen, tlen, toff, K, Lq, Ltb, VW)
-    Lw = words.shape[-1]
-    if Lw % 2:
-        words = jnp.pad(words, ((0, 0), (0, 0), (0, 1)))
-        fsa = jnp.pad(fsa, ((0, 0), (0, 0), (0, 1)),
-                      constant_values=int(_BIG))
-    whi = jnp.transpose(words[..., 0::2], (2, 1, 0))  # [Lw2, K, B]
-    wlo = jnp.transpose(words[..., 1::2], (2, 1, 0))
-    fsa64 = jnp.transpose(fsa[..., 1::2], (2, 1, 0))
+    # lane-major build: tables arrive already word-major/pairs-on-lanes
+    # ([Lvw, K, B]) — no [B, K, Lw] megatranspose (engine._stop_tables_v_lanes)
+    words_t, fsa_t = _stop_tables_v_lanes(
+        qb, tbuf, qlen, tlen, toff, K, Lq, Ltb, VW)
+    whi = words_t[0::2]  # [Lw2, K, B]
+    wlo = words_t[1::2]
+    fsa64 = fsa_t[1::2]
     Lw2 = whi.shape[0]
     # per-row 64-bit-group shear by max(0, toff - j) >> 6 (see
     # engine._run_batch_impl): first-row AND first-column seeds then
