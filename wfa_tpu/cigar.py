@@ -127,6 +127,21 @@ class AlignmentResult:
 
             from .device_backtrace import OP_CHARS
 
+            if isinstance(self._raw_tokens, tuple):
+                # edit-only stream: reconstruct the match runs from the
+                # sequences (see _decode_edit_tokens)
+                toks, q, t = self._raw_tokens
+                self._ops = self._decode_edit_tokens(toks, q, t)
+                self._raw_tokens = None
+                merged: List[Tuple[str, int]] = []
+                for op, n in self._ops:
+                    if merged and merged[-1][0] == op:
+                        merged[-1] = (op, merged[-1][1] + n)
+                    else:
+                        merged.append((op, n))
+                self._ops = merged
+                self._processed = True
+                return
             toks = self._raw_tokens
             shift = 12 if toks.dtype == np.int16 else 28
             mask = (1 << shift) - 1
@@ -183,6 +198,77 @@ class AlignmentResult:
         self.gaps = gaps
         self.gap_regions = gap_regions
         self._processed = True
+
+    @staticmethod
+    def _decode_edit_tokens(toks, q: bytes, t: bytes):
+        """Decode an edit-only device token stream (global alignment):
+        the stream carries only X/I/D/H ops (match runs dropped on
+        device — compact_tokens_flat_u8 drop_m); every match run is the
+        LCP of the remaining suffixes at its junction, because the
+        forward pass extends greedily and maximally (wfa.go:411-454) —
+        a run ends exactly where the diagonal's bases first differ.
+        Gap-EXTENSION steps carry split codes (CODE_IE/CODE_DE): the
+        cell between two extension ops is an I/D-component cell, which
+        never extends, so no match run may be inserted there even when
+        the suffixes happen to agree.
+
+        The final position must land exactly on (len(q), len(t)) — any
+        divergence is a decoder/kernel bug, not a data condition."""
+        import numpy as np
+
+        shift = 12 if toks.dtype == np.int16 else 28
+        mask = (1 << shift) - 1
+        toks = toks[toks != 0][::-1]
+        codes = (toks.astype(np.int32) >> shift).tolist()
+        runs = (toks.astype(np.int32) & mask).tolist()
+        ops: List[Tuple[str, int]] = []
+        append = ops.append
+        v = h = 0
+        nq, nt = len(q), len(t)
+        for code, run in zip(codes, runs):
+            if code != 5 and code != 6:  # match run may precede this op
+                lim = min(nq - v, nt - h)
+                n = 0
+                while n < lim:
+                    step = min(128, lim - n)
+                    if q[v + n:v + n + step] == t[h + n:h + n + step]:
+                        n += step
+                        continue
+                    while q[v + n] == t[h + n]:
+                        n += 1
+                    break
+                if n:
+                    append(("M", n))
+                    v += n
+                    h += n
+            if code == 1:  # X
+                append(("X", run))
+                v += run
+                h += run
+            elif code == 2 or code == 5:  # I consumes target
+                append(("I", run))
+                h += run
+            else:  # D (3/6) and H (4) consume query
+                append(("D" if code != 4 else "H", run))
+                v += run
+        lim = min(nq - v, nt - h)
+        n = 0
+        while n < lim:
+            step = min(128, lim - n)
+            if q[v + n:v + n + step] == t[h + n:h + n + step]:
+                n += step
+                continue
+            while q[v + n] == t[h + n]:
+                n += 1
+            break
+        if n:
+            append(("M", n))
+            v += n
+            h += n
+        assert v == nq and h == nt, (
+            "edit-token reconstruction diverged: "
+            f"({v},{h}) != ({nq},{nt})")
+        return ops
 
     def _trimmed_ops(self) -> List[Tuple[str, int]]:
         """Ops between first and last 'M' inclusive (wfa_cigar.go:217-233)."""

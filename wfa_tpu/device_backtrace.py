@@ -55,10 +55,20 @@ from .constants import (
 _BIG = np.int32(1 << 30)
 
 CODE_M, CODE_X, CODE_I, CODE_D, CODE_H = 0, 1, 2, 3, 4
+# gap-EXTENSION variants used by the edit-only token mode: the host
+# must know that no match run can precede an extension step (the cell
+# between two extension ops is an I/D-component cell, which never
+# extends), so InsertExt/DeleteExt ship distinct codes.  Decoders
+# normalize 5 -> I, 6 -> D.
+CODE_IE, CODE_DE = 5, 6
 OP_CHARS = "MXIDH"
 # tag (0..7) -> op code; tags 1,2 -> I; 3,4 -> D; 5 -> X; 6 -> M
 _TAG2CODE = np.array([7, CODE_I, CODE_I, CODE_D, CODE_D, CODE_X, CODE_M, 7],
                      dtype=np.int32)
+# split-extension variant (edit-only mode): IE/DE keep their own codes
+_TAG2CODE_SPLIT = np.array(
+    [7, CODE_I, CODE_IE, CODE_D, CODE_DE, CODE_X, CODE_M, 7],
+    dtype=np.int32)
 
 COMP_M, COMP_I, COMP_D = 0, 1, 2
 
@@ -139,6 +149,10 @@ def device_stats(tok0, buf, tail, token_shift: int = 28):
     )  # [B, NS] emission order
     NS = toks.shape[1]
     code = (toks >> token_shift).astype(jnp.int32)
+    # normalize the edit-only mode's split extension codes (no-op when
+    # the plain table was used)
+    code = jnp.where(code == CODE_IE, CODE_I,
+                     jnp.where(code == CODE_DE, CODE_D, code))
     run = (toks & ((1 << token_shift) - 1)).astype(jnp.int32)
     nz = toks != 0
     pos = jnp.arange(NS, dtype=jnp.int32)[None, :]
@@ -209,7 +223,7 @@ def compact_tokens(tok0, buf, tail, token_shift):
     return out.astype(dtype), n_tok
 
 
-def compact_tokens_flat_u8(tok0, buf, tail, token_shift):
+def compact_tokens_flat_u8(tok0, buf, tail, token_shift, drop_m=False):
     """Cross-pair byte-stream token compaction for the
     download-bandwidth-bound tunnel (CLAUDE.md: device->host is the
     pipeline's binding constraint): most op runs are short, so each
@@ -234,6 +248,14 @@ def compact_tokens_flat_u8(tok0, buf, tail, token_shift):
     flat = toks.reshape(B * NS)
     nz = flat != 0
     code = lax.shift_right_logical(flat, token_shift)
+    if drop_m:
+        # edit-only mode (global alignment): match runs are fully
+        # determined by the edit ops plus the sequences (extension is
+        # greedy-maximal, so every match run equals the LCP at its
+        # junction) — the host reconstructs them
+        # (AlignmentResult._decode_edit_tokens), and the download
+        # shrinks ~2x again on realistic error rates
+        nz = nz & (code != CODE_M)
     run = flat & ((1 << token_shift) - 1)
     long = nz & (run > 31)
     byte_plane = jnp.where(long, 224, (code << 5) | run)
@@ -258,6 +280,7 @@ def device_backtrace(
     pairs_on_lanes: bool = False,
     aux_old=None, k0_old=None, s_split: int = 0,
     old_pairs_on_lanes: bool = False, aux_base=None, aux_sbase=None,
+    split_ext_codes: bool = False,
 ):
     """Exact device port of the backtrace loop (wfa.go:703-983).
 
@@ -299,7 +322,8 @@ def device_backtrace(
     else:
         flat = aux.reshape(3 * Sn * Bs, K)
     bidx = jnp.arange(B, dtype=jnp.int32)
-    code_tab = jnp.asarray(_TAG2CODE)
+    code_tab = jnp.asarray(
+        _TAG2CODE_SPLIT if split_ext_codes else _TAG2CODE)
     if aux_base is not None:
         # value-rebased aux (the long-read kernel): stored offsets are
         # (offset0 - base[s,b] + 1); aux_base is [Bp, S]-laid-out

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
@@ -1225,6 +1226,12 @@ def _finish_outputs(
     K = cfg.aux_kw if aux_sbase is not None else cfg.k_win
     active0 = done & ~overflow
     token_shift, compact = _token_plan(S, cfg.penalties, Lq, Ltb)
+    # edit-only tokens (global + flat byte-stream path): drop the match
+    # runs from the download — they're recomputed host-side by LCP at
+    # decode (extension is greedy-maximal).  Gap-extension steps get
+    # split codes so the host knows no match run precedes them.
+    edit_only = (compact and flat and cfg.global_alignment
+                 and os.environ.get("WFA_EDIT_TOKENS") != "0")
     tok0, buf, tail, it_used, qb0, qe, tb0, te = device_backtrace(
         aux, start_cell, k0, start_s, start_k, qlen, tlen, active0,
         penalties=cfg.penalties,
@@ -1233,7 +1240,7 @@ def _finish_outputs(
         pairs_on_lanes=pairs_on_lanes,
         aux_old=aux_old, k0_old=k0_old, s_split=s_split,
         old_pairs_on_lanes=old_pairs_on_lanes, aux_base=aux_base,
-        aux_sbase=aux_sbase,
+        aux_sbase=aux_sbase, split_ext_codes=edit_only,
     )
     align_len, matches, gaps, gap_regions = device_stats(
         tok0, buf, tail, token_shift)
@@ -1246,7 +1253,7 @@ def _finish_outputs(
         # long runs spliced from a second compacted stream — ~1.7x
         # less download than int16 rows (compact_tokens_flat_u8)
         bytes_flat, longs_flat, n_tok, n_long = compact_tokens_flat_u8(
-            tok0, buf, tail, token_shift)
+            tok0, buf, tail, token_shift, drop_m=edit_only)
         trim_len = n_tok
     elif compact:
         toks, n_tok = compact_tokens(tok0, buf, tail, token_shift)
@@ -1958,6 +1965,10 @@ class BatchAligner:
             ph = b == 224
             toks[ph] = lg
             out["toks_flat"] = (toks, ends)
+            # edit-only mode (same gate the jit used): decode needs the
+            # sequences to reconstruct match runs
+            out["_edit"] = (self.cfg.global_alignment
+                            and os.environ.get("WFA_EDIT_TOKENS") != "0")
             for a in dev.values():
                 a.delete()
             for a in (spec_b, spec_l, trim_b, trim_l):
@@ -2027,6 +2038,7 @@ class BatchAligner:
             )
         ga = self.cfg.global_alignment
         meta = out["meta"]
+        edit = out.get("_edit", False)
         # one bulk tolist + a zip-driven loop: the per-pair result build
         # is pipeline host-CPU hot path (1-core host)
         rows = meta[:, :M_GREG + 1].tolist()
@@ -2037,5 +2049,6 @@ class BatchAligner:
             if row[M_OVF]:
                 append(oracle.align(q, t) if fallback else None)
             else:
-                append(from_device(ga, row, toks))
+                append(from_device(
+                    ga, row, (toks, q, t) if edit else toks))
         return results
