@@ -25,16 +25,17 @@ class AlignmentResult:
     __slots__ = (
         "_ops",
         "score",
-        "t_begin",
-        "t_end",
-        "q_begin",
-        "q_end",
-        "align_len",
-        "matches",
-        "gaps",
-        "gap_regions",
+        "_t_begin",
+        "_t_end",
+        "_q_begin",
+        "_q_end",
+        "_align_len",
+        "_matches",
+        "_gaps",
+        "_gap_regions",
         "_processed",
         "_raw_tokens",
+        "_device_coords",
         "global_alignment",
         "error",
     )
@@ -42,18 +43,22 @@ class AlignmentResult:
     def __init__(self, global_alignment: bool = True) -> None:
         self._ops: List[Tuple[str, int]] = []
         self.score = 0
-        self.t_begin = 0
-        self.t_end = 0
-        self.q_begin = 0
-        self.q_end = 0
-        self.align_len = 0
-        self.matches = 0
-        self.gaps = 0
-        self.gap_regions = 0
+        self._t_begin = 0
+        self._t_end = 0
+        self._q_begin = 0
+        self._q_end = 0
+        self._align_len = 0
+        self._matches = 0
+        self._gaps = 0
+        self._gap_regions = 0
         self._processed = False
-        # packed device op tokens (emission order), decoded lazily; stats
-        # were already computed on device in that case
+        # packed device op tokens (emission order), decoded lazily;
+        # stats and matched-region coordinates are then derived from the
+        # decoded ops exactly as the reference's process() derives stats
+        # (the device ships only score/overflow/extents — 8 fewer meta
+        # columns of download per pair)
         self._raw_tokens = None
+        self._device_coords = False
         self.global_alignment = global_alignment
         # per-pair failure (reference: Align returns (nil, err) per call,
         # wfa.go:204-209).  Batched pipelines must not let one bad pair
@@ -61,27 +66,49 @@ class AlignmentResult:
         self.error: Exception | None = None
 
     @classmethod
-    def from_device(cls, ga: bool, row, tokens) -> "AlignmentResult":
+    def from_device(cls, ga: bool, score: int, tokens) -> "AlignmentResult":
         """Fast constructor for device-decoded batches (the pipeline
-        builds thousands of these per batch on a 1-core host): ``row``
-        is one engine.META_COLS meta row (score..gap_regions prefix),
-        ``tokens`` the packed device token view (decoded lazily)."""
+        builds thousands of these per batch on a 1-core host):
+        ``tokens`` is the packed device token view, decoded lazily —
+        stats and matched-region coordinates come from the decoded ops
+        on first access."""
         res = cls.__new__(cls)
         res._ops = []
-        res.score = row[0]
-        res.q_begin = row[2]
-        res.q_end = row[3]
-        res.t_begin = row[4]
-        res.t_end = row[5]
-        res.align_len = row[6]
-        res.matches = row[7]
-        res.gaps = row[8]
-        res.gap_regions = row[9]
+        res.score = score
+        res._q_begin = res._q_end = res._t_begin = res._t_end = 0
+        res._align_len = res._matches = res._gaps = res._gap_regions = 0
         res._processed = False
         res._raw_tokens = tokens
+        res._device_coords = True
         res.global_alignment = ga
         res.error = None
         return res
+
+    # stats and matched-region coordinates: plain attributes for the
+    # host/oracle path, lazily derived from the decoded ops for device
+    # results (the properties trigger the decode on first access)
+    def _stat(name):  # noqa: N805 - tiny descriptor factory
+        priv = "_" + name
+
+        def get(self):
+            if self._raw_tokens is not None:
+                self.process()
+            return getattr(self, priv)
+
+        def set_(self, value):
+            setattr(self, priv, value)
+
+        return property(get, set_)
+
+    t_begin = _stat("t_begin")
+    t_end = _stat("t_end")
+    q_begin = _stat("q_begin")
+    q_end = _stat("q_end")
+    align_len = _stat("align_len")
+    matches = _stat("matches")
+    gaps = _stat("gaps")
+    gap_regions = _stat("gap_regions")
+    del _stat
 
     @classmethod
     def failed(cls, error: Exception) -> "AlignmentResult":
@@ -131,35 +158,32 @@ class AlignmentResult:
                 # edit-only stream: reconstruct the match runs from the
                 # sequences (see _decode_edit_tokens)
                 toks, q, t = self._raw_tokens
-                self._ops = self._decode_edit_tokens(toks, q, t)
-                self._raw_tokens = None
-                merged: List[Tuple[str, int]] = []
-                for op, n in self._ops:
-                    if merged and merged[-1][0] == op:
-                        merged[-1] = (op, merged[-1][1] + n)
-                    else:
-                        merged.append((op, n))
-                self._ops = merged
-                self._processed = True
-                return
-            toks = self._raw_tokens
-            shift = 12 if toks.dtype == np.int16 else 28
-            mask = (1 << shift) - 1
-            toks = toks[toks != 0][::-1]
-            self._ops = [
-                (OP_CHARS[t >> shift] if (t >> shift) < len(OP_CHARS)
-                 else ".", int(t & mask))
-                for t in toks
-            ]
+                decoded = self._decode_edit_tokens(toks, q, t)
+            else:
+                toks = self._raw_tokens
+                shift = 12 if toks.dtype == np.int16 else 28
+                mask = (1 << shift) - 1
+                toks = toks[toks != 0][::-1]
+                # normalize the edit-mode split extension codes (5 -> I,
+                # 6 -> D); plain streams never contain them
+                decoded = [
+                    (OP_CHARS[c] if c < len(OP_CHARS)
+                     else "I" if c == 5 else "D" if c == 6 else ".",
+                     int(tk & mask))
+                    for tk in toks
+                    for c in (int(tk) >> shift,)
+                ]
             self._raw_tokens = None
             merged: List[Tuple[str, int]] = []
-            for op, n in self._ops:
+            for op, n in decoded:
                 if merged and merged[-1][0] == op:
                     merged[-1] = (op, merged[-1][1] + n)
                 else:
                     merged.append((op, n))
             self._ops = merged
             self._processed = True
+            if self._device_coords:
+                self._derive_from_ops()
             return
         self._ops.reverse()
 
@@ -198,6 +222,49 @@ class AlignmentResult:
         self.gaps = gaps
         self.gap_regions = gap_regions
         self._processed = True
+
+    def _derive_from_ops(self) -> None:
+        """Stats (wfa_cigar.go:171-211) AND matched-region coordinates
+        from the merged final ops — for device results, whose download
+        carries only score/overflow/extents.  The coordinates follow
+        the reference's backtrace bookkeeping (wfa.go:840-863): 1-based
+        first/last matched positions, 0 when no M run exists."""
+        v = h = 0
+        qb = qe = tb = te = 0
+        align_len = matches = gaps = gap_regions = 0
+        begin = end = 0  # stats span defaults to ops[0:1] when no M
+        first = True
+        for i, (op, n) in enumerate(self._ops):
+            if op == "M":
+                if first:
+                    qb, tb = v + 1, h + 1
+                    begin = i
+                    first = False
+                v += n
+                h += n
+                qe, te = v, h
+                end = i
+            elif op == "X":
+                v += n
+                h += n
+            elif op == "I":
+                h += n
+            else:  # D, H consume query
+                v += n
+        for i in range(begin, min(end + 1, len(self._ops))):
+            op, n = self._ops[i]
+            align_len += n
+            if op == "M":
+                matches += n
+            elif op in ("I", "D"):
+                gaps += n
+                gap_regions += 1
+        self._q_begin, self._q_end = qb, qe
+        self._t_begin, self._t_end = tb, te
+        self._align_len = align_len
+        self._matches = matches
+        self._gaps = gaps
+        self._gap_regions = gap_regions
 
     @staticmethod
     def _decode_edit_tokens(toks, q: bytes, t: bytes):

@@ -115,15 +115,15 @@ def _pad_len(n: int) -> int:
     g = 128 if n <= 4096 else 2048
     return ((n + g - 1) // g) * g
 
-# columns of the fused per-pair "meta" output tensor (int32[B, 12]) —
-# one tensor so the host fetches all scalars in one tunnel round trip
-# (n_long counts the byte-stream path's full-width long tokens; zero on
-# the other output layouts)
-META_COLS = ("score", "overflow", "q_begin", "q_end", "t_begin", "t_end",
-             "align_len", "matches", "gaps", "gap_regions", "trim_len",
-             "n_long")
-M_SCORE, M_OVF, M_QB, M_QE, M_TB, M_TE, M_ALEN, M_MATCH, M_GAPS, M_GREG, \
-    M_TRIM, M_LONG = range(12)
+# columns of the fused per-pair "meta" output tensor (int32[B, 4]) —
+# one tensor so the host fetches all scalars in one tunnel round trip.
+# Stats and matched-region coordinates are NOT downloaded: they derive
+# from the decoded ops host-side exactly as the reference's process()
+# derives stats (AlignmentResult._derive_from_ops) — 8 fewer int16
+# columns per pair of tunnel traffic.  (n_long counts the byte-stream
+# path's full-width long tokens; zero on the other output layouts.)
+META_COLS = ("score", "overflow", "trim_len", "n_long")
+M_SCORE, M_OVF, M_TRIM, M_LONG = range(4)
 
 
 class _State(NamedTuple):
@@ -1125,7 +1125,7 @@ def _align_full_impl(
     pallas_engine.supports) unless ``engine`` says otherwise.
     """
     from .device_backtrace import (compact_tokens, device_backtrace,
-                                   device_stats, end_finder)
+                                   end_finder)
 
     S = cfg.s_cap
     K = cfg.k_win
@@ -1217,8 +1217,7 @@ def _finish_outputs(
     cross-pair packed (exact-extent fetch; single-device path only —
     shard_map outputs keep the 2-D row layout so shards concatenate)."""
     from .device_backtrace import (compact_tokens, compact_tokens_flat_u8,
-                                   device_backtrace, device_stats,
-                                   iter_capacity)
+                                   device_backtrace, iter_capacity)
 
     S = cfg.s_cap
     # rebased aux (aux_sbase) stores KW-row windows: the backtrace's aux
@@ -1242,9 +1241,7 @@ def _finish_outputs(
         old_pairs_on_lanes=old_pairs_on_lanes, aux_base=aux_base,
         aux_sbase=aux_sbase, split_ext_codes=edit_only,
     )
-    align_len, matches, gaps, gap_regions = device_stats(
-        tok0, buf, tail, token_shift)
-    n_long = jnp.zeros_like(qb0)
+    n_long = jnp.zeros_like(start_s)
     bytes_flat = longs_flat = None
     if compact and flat:
         # byte-stream tokens: the tunnel's device->host bandwidth is
@@ -1260,14 +1257,13 @@ def _finish_outputs(
         trim_len = n_tok
     else:
         trim_len = jnp.broadcast_to(it_used, qb0.shape)
-    # ONE small per-pair tensor instead of eleven: every host fetch
-    # costs a tunnel round trip, so the scalars ride together
-    # (META_COLS names the columns).  int16 when every column provably
-    # fits (scores <= s_cap, coords <= seq lens, align stats <= lq+lt,
-    # trim <= the token-stream capacity) — halves the meta download.
+    # ONE small per-pair tensor: every host fetch costs a tunnel round
+    # trip, so the scalars ride together (META_COLS names the columns;
+    # stats/coords derive from the decoded ops host-side).  int16 when
+    # every column provably fits (scores <= s_cap, trim <= the
+    # token-stream capacity) — halves the meta download.
     meta = jnp.stack(
-        [start_s, overflow.astype(jnp.int32), qb0, qe, tb0, te,
-         align_len, matches, gaps, gap_regions, trim_len, n_long], axis=1)
+        [start_s, overflow.astype(jnp.int32), trim_len, n_long], axis=1)
     ns_cap = 2 * iter_capacity(S, cfg.penalties) + 5
     meta16 = max(Lq + Ltb, S, ns_cap) <= 32000
     if compact and flat:
@@ -1798,12 +1794,6 @@ class BatchAligner:
                     old_lanes=use_kernel, flat=True)
             return self._queue_fetch(pairs, out)
 
-    @staticmethod
-    def _meta_cols(out):
-        """Split the fetched meta tensor into named per-pair columns."""
-        meta = out["meta"]
-        return {name: meta[:, i] for i, name in enumerate(META_COLS)}
-
     def finish_batch(self, handle, fallback: bool = True):
         """Fetch a submitted batch's results and decode them."""
         return self.finish_tokens(self.finish_small(handle), fallback)
@@ -2039,16 +2029,17 @@ class BatchAligner:
         ga = self.cfg.global_alignment
         meta = out["meta"]
         edit = out.get("_edit", False)
-        # one bulk tolist + a zip-driven loop: the per-pair result build
+        # bulk tolists + a zip-driven loop: the per-pair result build
         # is pipeline host-CPU hot path (1-core host)
-        rows = meta[:, :M_GREG + 1].tolist()
+        scores = meta[:, M_SCORE].tolist()
+        ovfs = meta[:, M_OVF].tolist()
         from_device = AlignmentResult.from_device
         append = results.append
         oracle = self._oracle
-        for (q, t), row, toks in zip(pairs, rows, buf):
-            if row[M_OVF]:
+        for (q, t), score, ovf, toks in zip(pairs, scores, ovfs, buf):
+            if ovf:
                 append(oracle.align(q, t) if fallback else None)
             else:
                 append(from_device(
-                    ga, row, (toks, q, t) if edit else toks))
+                    ga, score, (toks, q, t) if edit else toks))
         return results
