@@ -513,8 +513,27 @@ def _seed_rows(
         in_range = (ks >= k0[:, None]) & (ks <= (tlen - 1)[:, None])
         # k >= 0: first row, offset k+1, compare q[0] vs t[k]
         # k < 0: first column, offset 1, compare q[-k] vs t[0]
-        t_at_k = t_at_col(ks + toff[:, None].astype(jnp.int32))
-        q_at_mk = jnp.take_along_axis(qi, jnp.clip(-ks, 0, Lq - 1), axis=1)
+        # Gather-free (take_along_axis costs ~14 ns/index on TPU —
+        # ~14 ms per 256x2048 seed build): t[k] lives at buffer column
+        # ks + toff == j, a plain slice/pad of tbuf; q[-k] = q[toff - j]
+        # is the reversed query left-shifted per row by Lq-1-toff,
+        # decomposed into log2 static shifts.
+        t_at_k = (ti[:, :K] if Ltb >= K
+                  else jnp.pad(ti, ((0, 0), (0, K - Ltb))))
+        qr = jnp.flip(qi, axis=1)  # qr[:, i] = q[:, Lq-1-i]
+        if Lq < K:
+            qr = jnp.pad(qr, ((0, 0), (0, K - Lq)))
+        else:
+            qr = qr[:, :K]
+        d = jnp.maximum(Lq - 1 - toff.astype(jnp.int32), 0)
+        for bit in range(max(1, K - 1).bit_length()):
+            amt = 1 << bit
+            if amt >= K:
+                break
+            sh = jnp.concatenate(
+                [qr[:, amt:], jnp.zeros((qr.shape[0], amt), qr.dtype)], 1)
+            qr = jnp.where((((d >> bit) & 1) == 1)[:, None], sh, qr)
+        q_at_mk = qr  # [B, K]: column j holds q[toff - j] (j <= toff)
         t0 = t_at_col(toff[:, None].astype(jnp.int32))
         eq = jnp.where(ks >= 0, qi[:, :1] == t_at_k, q_at_mk == t0)
         off = jnp.where(ks >= 0, ks + 1, 1)
