@@ -151,7 +151,10 @@ def main() -> None:
         record = []
         for length, err, go in rows:
             n = 65536 if length <= 1000 else (64 if length <= 50000 else 32)
-            reps = 3 if length <= 1000 else 2
+            # 3 reps everywhere: the first call at a fresh score-cap fit
+            # compiles, the second compiles its trim-slice program — the
+            # third is the steady state
+            reps = 3
             t_up0, t_dn0 = _tunnel_probe()
             aln_s, elapsed, _, pairs = _run(pipe, n, length, err, reps=reps)
             dev_only = _device_only(pipe, pairs) if length <= 1000 else None
@@ -185,7 +188,7 @@ def main() -> None:
             n = (8192 if length <= 250 else
                  4096 if length <= 1000 else 64)
             t_up0, t_dn0 = _tunnel_probe()
-            aln_s, elapsed, _, _ = _run(semi, n, length, err, reps=2)
+            aln_s, elapsed, _, _ = _run(semi, n, length, err, reps=3)
             t_up1, t_dn1 = _tunnel_probe()
             vs = f" (Go est {go_est}; {aln_s / go_est:.1f}x)" if go_est else ""
             print(f"# semi-global l={length} e={err}: {aln_s:.1f} aln/s"
@@ -194,7 +197,7 @@ def main() -> None:
                   file=sys.stderr)
             record.append({
                 "mode": "semi-global", "l": length, "e": err, "n": n,
-                "reps": 2, "aln_per_s": round(aln_s, 1),
+                "reps": 3, "aln_per_s": round(aln_s, 1),
                 "elapsed_s": round(elapsed, 3),
                 "tunnel_8mb_ms": {"up": [t_up0, t_up1],
                                   "down": [t_dn0, t_dn1]},

@@ -1655,7 +1655,12 @@ class BatchAligner:
             mtb, lg = out["mtb"], out["lg"]
             hd = mtb.shape[0] - lg.shape[0]  # meta byte count
             gb = self._tok_guess.get("mtb")
-            spec_b = mtb[:hd if gb is None else min(mtb.shape[0], hd + gb)]
+            if gb is None:
+                # cold start: prefetch a plausible token extent rather
+                # than meta-only (a miss costs one remainder round trip
+                # AND compiles a fresh trim-slice program, ~0.5 s)
+                gb = _coarse(64 * max(len(pairs), 1))
+            spec_b = mtb[:min(mtb.shape[0], hd + gb)]
             spec_b.copy_to_host_async()
             gl = self._tok_guess.get("lg")
             spec_l = None

@@ -259,12 +259,16 @@ class AlignmentPipeline:
                             + 16 * fs * 4
                             + s_cap * k_win * 8 + k_win * lw * 24)
             else:
-                # XLA prefix: six int32 [S0+1, B, Kf] state tensors +
-                # the kept full-span aux history + stop tables, then
-                # the phase-2 narrow aux
-                per_pair = ((semi2_s0 + 1) * full_span * 24
+                # XLA prefix: six int32 [S0+1, B, Kf] state tensors
+                # DOUBLE-BUFFERED by the while-loop carry (x48 B/cell),
+                # the kept full-span aux history, the v-space stop
+                # tables incl. their build transient (measured: the 8
+                # B/word-cell model admitted a batch whose compile
+                # wanted 19.8 GB on a 15.75 GB chip at l=10k), then the
+                # phase-2 narrow aux
+                per_pair = ((semi2_s0 + 1) * full_span * 48
                             + 3 * semi2_s0 * full_span * 4
-                            + full_span * lw * 8
+                            + full_span * lw * 20
                             + s_cap * k_win * 8 + k_win * lw * 24)
         elif engine == "pallas_long":
             # value-rebased int16 aux at any length (pallas_longread).
@@ -427,8 +431,21 @@ class AlignmentPipeline:
                         inflight.append(
                             ((lq_c, lt_c), chunk, [None] * len(chunk)))
                         continue
+                    # per-CHUNK footprint: batch_bytes models a full bs
+                    # batch, but tail/retry chunks (tier escapees) are
+                    # often far smaller — a ~100-pair semi tier-1 batch
+                    # must not serialize the whole call behind a 5.7 GB
+                    # full-batch model.  Scale by the actual chunk
+                    # (floored at the 128-lane pad so padded kernels
+                    # aren't under-modeled).
+                    if len(chunk) < bs:
+                        eff = max(len(chunk), min(bs, 128))
+                        cb = int(batch_bytes * eff / max(bs, 1))
+                    else:
+                        cb = batch_bytes
+                    serial_c = cb > max(2 << 30, self.cfg.hbm_budget // 2)
                     try:
-                        if serial:
+                        if serial_c:
                             # multi-GB configs submit + drain serially —
                             # fence the async submits first so two
                             # multi-GB programs never overlap in HBM
@@ -469,9 +486,8 @@ class AlignmentPipeline:
                         # Two-phase semi-global batches reserve their
                         # full model: their phase-1 exports genuinely
                         # persist on device across the host mid-point.
-                        hold = (batch_bytes if engine.startswith("semi2")
-                                else min(batch_bytes,
-                                         batch_bytes // 256 + (16 << 20)))
+                        hold = (cb if engine.startswith("semi2")
+                                else min(cb, cb // 256 + (16 << 20)))
                         self._inflight_sem().acquire()
                         self._mem_acquire(hold)
                         owned = False
