@@ -173,6 +173,15 @@ class AlignmentPipeline:
         # long-read kernel's block size, the most memory-bound path)
         s_mem_max = (7 << 30) // (3 * 32 * k_win * 4)
         s_cap = min(s_cap, _round_up(s_mem_max, 8) - 8)
+        if semi2_s0 is not None:
+            # the phase-2 resume kernel pads its batch to 128 lanes, so
+            # its int32 aux dump allocates 3*s_cap*k_win*4*128 bytes no
+            # matter how few pairs are admitted — an uncapped tier-2
+            # s_cap of 38k at k_win=512 compiled a 30 GB tensor on a
+            # 16 GB chip.  Pairs whose scores exceed this cap finish on
+            # the exact tiers / host oracle.
+            s2_max = (cfg.hbm_budget // 2) // (3 * k_win * 4 * 128)
+            s_cap = min(s_cap, _round_up(s2_max, 8) - 8)
         # long sequences: the Pallas kernel streams its own table
         # window; the JAX fallback (forced at the last tier so pairs that
         # outrun the streaming window still finish on device) reads a
