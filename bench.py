@@ -184,9 +184,9 @@ def main() -> None:
                      (1000, 0.10, 2393), (1000, 0.20, 904),
                      (10000, 0.05, 648)]
         for length, err, go_est in semi_rows:
-            # the semi batch is 2048: n=4096 lets adjacent batches overlap
-            n = (8192 if length <= 250 else
-                 4096 if length <= 1000 else 64)
+            # the semi batch is 2048: several batches in flight let the
+            # two phases of adjacent batches overlap on device
+            n = (8192 if length <= 1000 else 64)
             t_up0, t_dn0 = _tunnel_probe()
             aln_s, elapsed, _, _ = _run(semi, n, length, err, reps=3)
             t_up1, t_dn1 = _tunnel_probe()

@@ -380,12 +380,13 @@ def _stop_tables_v_lanes(qb, tbuf, qlen, tlen, toff, K: int, Lq: int,
         else lax.slice(tbuf, (0, 0), (B, Lpf)))  # [Lpf, B]
     qpad = qb if Lq >= VWe else jnp.pad(qb, ((0, 0), (0, VWe - Lq)))
     qT = jnp.transpose(lax.slice(qpad, (0, 0), (B, VWe)))  # [VWe, B]
-    weights = (jnp.int32(1) << (31 - jnp.arange(32, dtype=jnp.int32)))
     vs = jnp.arange(VWe, dtype=jnp.int32)[None, :, None]
     rs = jnp.arange(CK, dtype=jnp.int32)[:, None, None]
     qlen_l = qlen[None, None, :]
     lo_l = toff[None, None, :]
     hi_l = (toff + tlen)[None, None, :]
+
+    w8 = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
 
     def _chunk(i, acc):
         j0 = i * CK
@@ -401,8 +402,16 @@ def _stop_tables_v_lanes(qb, tbuf, qlen, tlen, toff, K: int, Lq: int,
         cs = vs + rs + j0
         valid = (vs < qlen_l) & (cs >= lo_l) & (cs < hi_l)
         stop = ~(valid & (qT[None] == t_sh))  # [CK, VWe, B]
-        bits = stop.reshape(CK, Lvw, 32, B).astype(jnp.int32)
-        wc = jnp.sum(bits * weights[None, None, :, None], axis=2)
+        # pack 8 bits -> 1 byte in uint8 arithmetic (exact: products
+        # <= 128, sums <= 255), then 4 bytes -> 1 big-endian word; the
+        # old bool -> int32*weights pack expanded every BIT to 4 bytes
+        # of vector traffic
+        b4 = jnp.sum(
+            stop.reshape(CK, Lvw, 4, 8, B).astype(jnp.uint8)
+            * w8[None, None, None, :, None], axis=3)  # [CK, Lvw, 4, B]
+        b4 = b4.astype(jnp.int32)
+        wc = ((b4[:, :, 0] << 24) | (b4[:, :, 1] << 16)
+              | (b4[:, :, 2] << 8) | b4[:, :, 3])
         return lax.dynamic_update_slice(acc, wc, (j0, 0, 0))
 
     words = lax.fori_loop(0, Kp // CK, _chunk,
