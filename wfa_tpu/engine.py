@@ -221,38 +221,57 @@ def _stop_tables(qb, tbuf, qlen, tlen, toff, K: int, Lq: int, Ltb: int):
     Lwc = (Ltb + 32) // 32  # ≥1 stop column beyond every toff+tlen
     Lc = Lwc * 32
 
-    # q_sh[b, j, c] = q[b, c - j] — all K shifted copies of q, built by
-    # log2(K) concat-and-shift doublings (gathers are pathologically slow
-    # on TPU and a K-way unrolled slice/stack blows up compile time).
-    # Invariant: R[b, r, cp] = qpad[b, cp - r] with qpad[b, K + v] = q[b, v].
-    Lp = K + Lc
-    qpad = jnp.zeros((B, 1, Lp), jnp.uint8)
-    qpad = lax.dynamic_update_slice(qpad, qb[:, None, :], (0, 0, K))
-    R = qpad
-    d = 1
-    while d < K:
-        shifted = jnp.pad(R, ((0, 0), (0, 0), (d, 0)))[:, :, :Lp]
-        R = jnp.concatenate([R, shifted], axis=1)
-        d *= 2
-    q_sh = lax.slice(R, (0, 0, K), (B, K, K + Lc))  # [B, K, Lc]
+    # q_sh[b, j, c] = q[b, c - j] — K shifted copies of q built by
+    # concat-and-shift doublings (gathers are pathologically slow on
+    # TPU), CK diagonals at a time: the whole-K doubling materializes a
+    # [B, pow2(K), K + Lc] byte tensor — 19.8 GB at B=8, K=20k (a hard
+    # compile OOM on the semi-global exact tier) — where each chunk
+    # pass peaks at [B, CK, CK + Lc] bytes.
+    CK = 256 if K % 256 == 0 else 128
+    CK = min(CK, K)
+    Kp = ((K + CK - 1) // CK) * CK
+    Lp = CK + Lc
+    # qpad[b, Kp + v] = q[b, v]; chunk row r of chunk j0 reads window
+    # qpad[b, Kp - j0 - r : ... + Lc]
+    qpad = jnp.zeros((B, Kp + Lc), jnp.uint8)
+    qpad = lax.dynamic_update_slice(qpad, qb[:, :min(Lq, Lc)], (0, Kp))
 
     tpad = jnp.zeros((B, Lc), jnp.uint8)
     tpad = lax.dynamic_update_slice(tpad, tbuf, (0, 0))
 
-    cs = jnp.arange(Lc, dtype=jnp.int32)[None, None, :]
-    js = jnp.arange(K, dtype=jnp.int32)[None, :, None]
-    vs = cs - js
-    valid = (
-        (vs >= 0)
-        & (vs < qlen[:, None, None])
-        & (cs >= toff[:, None, None])
-        & (cs < (toff + tlen)[:, None, None])
-    )
-    stop = ~(valid & (q_sh == tpad[:, None, :]))  # [B, K, Lc] bool
-
-    bits = stop.reshape(B, K, Lwc, 32).astype(jnp.int32)
     weights = (jnp.int32(1) << (31 - jnp.arange(32, dtype=jnp.int32)))
-    words = jnp.sum(bits * weights[None, None, None, :], axis=-1)
+    cs1 = jnp.arange(Lc, dtype=jnp.int32)[None, None, :]
+    rs1 = jnp.arange(CK, dtype=jnp.int32)[None, :, None]
+
+    def _chunk(i, acc):
+        j0 = i * CK
+        # X[b, r', c] = qpad[b, Kp - j0 - (CK-1) + r' + c]; the chunk's
+        # rows are then r = CK-1-r' (reverse along the chunk axis)
+        base = Kp - j0 - (CK - 1)
+        X = lax.dynamic_slice(qpad, (0, base), (B, CK - 1 + Lc))[:, None, :]
+        d = 1
+        while d < CK:
+            shifted = jnp.pad(X, ((0, 0), (0, 0), (0, d)))[:, :, d:]
+            X = jnp.concatenate([X, shifted], axis=1)
+            d *= 2
+        q_sh = jnp.flip(lax.slice(X, (0, 0, 0), (B, CK, Lc)), axis=1)
+        js = rs1 + j0
+        vs = cs1 - js
+        valid = (
+            (vs >= 0)
+            & (vs < qlen[:, None, None])
+            & (cs1 >= toff[:, None, None])
+            & (cs1 < (toff + tlen)[:, None, None])
+        )
+        stop = ~(valid & (q_sh == tpad[:, None, :]))  # [B, CK, Lc]
+        bits = stop.reshape(B, CK, Lwc, 32).astype(jnp.int32)
+        wc = jnp.sum(bits * weights[None, None, None, :], axis=-1)
+        return lax.dynamic_update_slice(acc, wc, (0, j0, 0))
+
+    words = lax.fori_loop(0, Kp // CK, _chunk,
+                          jnp.zeros((B, Kp, Lwc), jnp.int32))
+    if Kp != K:
+        words = lax.slice(words, (0, 0, 0), (B, K, Lwc))
 
     # first stop position within each word (32*w + clz), BIG if none
     wclz = lax.clz(words)

@@ -452,7 +452,18 @@ class AlignmentPipeline:
                         cb = int(batch_bytes * eff / max(bs, 1))
                     else:
                         cb = batch_bytes
-                    serial_c = cb > max(2 << 30, self.cfg.hbm_budget // 2)
+                    # only two-phase semi-global batches ever need the
+                    # serial path: their phase-1 exports persist on
+                    # device between the phases, so two multi-GB
+                    # batches in flight really do coexist in HBM.
+                    # Single-phase programs allocate their temp arena
+                    # per execution (serial device stream — verified
+                    # empirically), so overlapping l=50k batches is
+                    # safe and hides each batch's pack/upload/fetch
+                    # behind the previous batch's compute.
+                    serial_c = (engine.startswith("semi2")
+                                and cb > max(2 << 30,
+                                             self.cfg.hbm_budget // 2))
                     try:
                         if serial_c:
                             # multi-GB configs submit + drain serially —
