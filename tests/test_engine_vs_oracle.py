@@ -281,3 +281,28 @@ def test_numpy_pack_per_row_nul_check():
     lo = np.zeros(2, np.int32)
     hi = np.array([5, 3], np.int32)
     assert BatchAligner._pack2(arr, lo, hi) is None
+
+
+def test_stop_tables_chunked_matches_single_pass(monkeypatch):
+    """The big-K chunked c-space stop-table builder must be bit-equal to
+    the single-pass build (the chunked branch only triggers past a 2 GB
+    intermediate in production, so force it here)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from wfa_tpu import engine as eng_mod
+    from wfa_tpu.datagen import generate_pairs
+    from wfa_tpu.engine import BatchAligner, _stop_tables
+    from wfa_tpu import AdaptiveReductionOption, Options, Penalties
+
+    pairs = generate_pairs(3, 150, 0.1, seed=13)
+    packer = BatchAligner(Penalties(), Options(True),
+                          AdaptiveReductionOption(), k_win=384, s_cap=64)
+    qb, tbuf, qlen, tlen, toff, Lq, Ltb = packer.pack_batch(pairs)
+    args = (jnp.asarray(qb), jnp.asarray(tbuf), jnp.asarray(qlen),
+            jnp.asarray(tlen), jnp.asarray(toff))
+    w1, f1 = _stop_tables(*args, 384, Lq, Ltb)
+    monkeypatch.setattr(eng_mod, "_STOP_TABLES_CHUNK_BYTES", 0)
+    w2, f2 = _stop_tables(*args, 384, Lq, Ltb)
+    assert np.array_equal(np.asarray(w1), np.asarray(w2))
+    assert np.array_equal(np.asarray(f1), np.asarray(f2))

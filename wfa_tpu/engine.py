@@ -195,6 +195,12 @@ def window_origin(qlen: int, tlen: int, k_win: int, global_alignment: bool) -> i
     return ak // 2 - k_win // 2
 
 
+# single-pass vs chunked threshold for the c-space stop-table doubling
+# (bytes of the whole-K intermediate); tests shrink it to force the
+# chunked branch on small inputs
+_STOP_TABLES_CHUNK_BYTES = 2 << 30
+
+
 def _stop_tables(qb, tbuf, qlen, tlen, toff, K: int, Lq: int, Ltb: int):
     """Precompute the extension stop tables (the TPU-native replacement of
     the reference's per-byte LCP walk, wfa.go:411-454).
@@ -223,10 +229,49 @@ def _stop_tables(qb, tbuf, qlen, tlen, toff, K: int, Lq: int, Ltb: int):
 
     # q_sh[b, j, c] = q[b, c - j] — K shifted copies of q built by
     # concat-and-shift doublings (gathers are pathologically slow on
-    # TPU), CK diagonals at a time: the whole-K doubling materializes a
-    # [B, pow2(K), K + Lc] byte tensor — 19.8 GB at B=8, K=20k (a hard
-    # compile OOM on the semi-global exact tier) — where each chunk
-    # pass peaks at [B, CK, CK + Lc] bytes.
+    # TPU).  The whole-K doubling materializes a [B, pow2(K), K + Lc]
+    # byte tensor — 19.8 GB at B=8, K=20k (a hard compile OOM on the
+    # semi-global exact tier) — so BIG builds run CK diagonals at a
+    # time; small ones keep the single-pass build (the chunk loop costs
+    # ~11 ms/batch of fori/DUS overhead at K=128, B=2048 — half a
+    # main-kernel device pass).
+    pow2k = 1 << max(0, K - 1).bit_length()
+    if B * pow2k * (K + Lc) <= _STOP_TABLES_CHUNK_BYTES:
+        Lp = K + Lc
+        qpad = jnp.zeros((B, 1, Lp), jnp.uint8)
+        qpad = lax.dynamic_update_slice(qpad, qb[:, None, :], (0, 0, K))
+        R = qpad
+        d = 1
+        while d < K:
+            shifted = jnp.pad(R, ((0, 0), (0, 0), (d, 0)))[:, :, :Lp]
+            R = jnp.concatenate([R, shifted], axis=1)
+            d *= 2
+        q_sh = lax.slice(R, (0, 0, K), (B, K, K + Lc))  # [B, K, Lc]
+        tpad = jnp.zeros((B, Lc), jnp.uint8)
+        tpad = lax.dynamic_update_slice(tpad, tbuf, (0, 0))
+        cs = jnp.arange(Lc, dtype=jnp.int32)[None, None, :]
+        js = jnp.arange(K, dtype=jnp.int32)[None, :, None]
+        vs = cs - js
+        valid = (
+            (vs >= 0)
+            & (vs < qlen[:, None, None])
+            & (cs >= toff[:, None, None])
+            & (cs < (toff + tlen)[:, None, None])
+        )
+        stop = ~(valid & (q_sh == tpad[:, None, :]))  # [B, K, Lc]
+        bits = stop.reshape(B, K, Lwc, 32).astype(jnp.int32)
+        weights = (jnp.int32(1) << (31 - jnp.arange(32, dtype=jnp.int32)))
+        words = jnp.sum(bits * weights[None, None, None, :], axis=-1)
+        wclz = lax.clz(words)
+        wpos = jnp.where(
+            words != 0,
+            jnp.arange(Lwc, dtype=jnp.int32)[None, None, :] * 32 + wclz,
+            _BIG,
+        )
+        suff = lax.cummin(wpos, axis=2, reverse=True)
+        fsa = jnp.concatenate(
+            [suff[..., 1:], jnp.full_like(suff[..., :1], _BIG)], axis=-1)
+        return words, fsa
     CK = 256 if K % 256 == 0 else 128
     CK = min(CK, K)
     Kp = ((K + CK - 1) // CK) * CK
